@@ -1,0 +1,10 @@
+"""Test env: force CPU with 8 virtual devices so pjit/mesh tests run without
+TPU hardware (the TPU-native analog of fake-cluster testing, SURVEY.md §4)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+os.environ.setdefault("JAX_ENABLE_X64", "0")

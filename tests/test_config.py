@@ -1,0 +1,82 @@
+import os
+
+import yaml
+
+from dicttts_tpu.config import Config, deep_merge, load_config, parse_override_string
+
+
+def _write(path, data):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        yaml.safe_dump(data, f)
+
+
+def test_inheritance_chain(tmp_path):
+    root = str(tmp_path)
+    _write(f"{root}/base.yaml", {"a": 1, "b": {"c": 2, "d": 3}, "lr": 0.1})
+    _write(f"{root}/mid.yaml", {"base_config": "./base.yaml", "b": {"c": 20}, "e": "x"})
+    _write(f"{root}/leaf.yaml", {"base_config": ["./mid.yaml"], "a": 100})
+    cfg = load_config(config=f"{root}/leaf.yaml", save=False)
+    assert cfg["a"] == 100
+    assert cfg["b"] == {"c": 20, "d": 3}  # deep merge
+    assert cfg["e"] == "x"
+    assert cfg["lr"] == 0.1
+
+
+def test_multiple_bases_later_wins(tmp_path):
+    root = str(tmp_path)
+    _write(f"{root}/b1.yaml", {"k": 1, "only1": True})
+    _write(f"{root}/b2.yaml", {"k": 2, "only2": True})
+    _write(f"{root}/leaf.yaml", {"base_config": ["./b1.yaml", "./b2.yaml"]})
+    cfg = load_config(config=f"{root}/leaf.yaml", save=False)
+    assert cfg["k"] == 2 and cfg["only1"] and cfg["only2"]
+
+
+def test_cycle_guard(tmp_path):
+    root = str(tmp_path)
+    _write(f"{root}/a.yaml", {"base_config": "./b.yaml", "a": 1})
+    _write(f"{root}/b.yaml", {"base_config": "./a.yaml", "b": 2})
+    cfg = load_config(config=f"{root}/a.yaml", save=False)
+    assert cfg["a"] == 1 and cfg["b"] == 2
+
+
+def test_override_string_typed():
+    cfg = {"lr": 0.1, "flag": False, "dims": [1, 2], "nest": {"x": 5}, "name": "a"}
+    parse_override_string("lr=2,flag=True,dims=[3 4],nest.x=9,name=b,new_int=7", cfg)
+    assert cfg["lr"] == 2.0 and isinstance(cfg["lr"], float)
+    assert cfg["flag"] is True
+    assert cfg["dims"] == [3, 4]
+    assert cfg["nest"]["x"] == 9
+    assert cfg["name"] == "b"
+    assert cfg["new_int"] == 7
+
+
+def test_exp_dir_persistence_and_reset(tmp_path):
+    root = str(tmp_path)
+    _write(f"{root}/c.yaml", {"lr": 0.1})
+    ckpt = f"{root}/ckpts"
+    cfg = load_config(config=f"{root}/c.yaml", exp_name="e1", overrides="lr=0.5", checkpoints_root=ckpt)
+    assert cfg["lr"] == 0.5
+    # saved config takes precedence over the yaml tree
+    cfg2 = load_config(config=f"{root}/c.yaml", exp_name="e1", checkpoints_root=ckpt)
+    assert cfg2["lr"] == 0.5
+    # unless reset
+    cfg3 = load_config(config=f"{root}/c.yaml", exp_name="e1", reset=True, checkpoints_root=ckpt, save=False)
+    assert cfg3["lr"] == 0.1
+
+
+def test_frozen_config_wrapper():
+    c = Config({"a": 1, "b": {"c": 2}})
+    assert c.a == 1 and c["b"]["c"] == 2 and c.get("zz", 7) == 7
+    try:
+        c.a = 5
+        raise AssertionError("should be immutable")
+    except AttributeError:
+        pass
+    assert c.replace(a=9).a == 9 and c.a == 1
+
+
+def test_deep_merge_no_shared_state():
+    dst = {"x": {"y": 1}}
+    deep_merge(dst, {"x": {"z": 2}, "w": 3})
+    assert dst == {"x": {"y": 1, "z": 2}, "w": 3}
