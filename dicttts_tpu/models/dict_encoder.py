@@ -1,0 +1,188 @@
+"""Semantics-to-pronunciation attention (S2PA) — the Dict-TTS core novelty.
+
+Capability parity with the reference
+(/root/reference/modules/dict_tts/layers/dict_encoder.py:17-171 and
+layers/utils.py), fully vectorized for TPU:
+
+- Each input character (word token) attends over ONLY its own dictionary
+  entry's gloss tokens — a block-diagonal attention expressed as a batched
+  per-token contraction, never a [T*L, T*L] matrix.
+- `sense_remap` replaces the reference's python loop over sense ids
+  (`mask_weights_attn`, layers/utils.py:49-58) with a single boolean
+  one-hot contraction: attention mass is summed per sense id via the
+  key_map and broadcast onto that sense's pinyin-token positions via the
+  pinyin_map.
+- `apply_pron_rule` replaces the loop in `add_pron_rule`
+  (layers/utils.py:109-115) with a masked straight-through overwrite: rows
+  whose sandhi rule forces sense i get a hard one-hot over that sense's
+  pinyin tokens in the forward pass while gradients flow to the soft
+  weights.
+
+Dict-bank tensors (built offline, see SURVEY.md §2.4 ZhBinarizer):
+  keys/values: [B, T_w, L_k, E]  RoFormer gloss-token embeddings (E=768)
+  key_map:     [B, T_w, L_k]     1-based sense id per gloss token (0=pad)
+  pinyin:      [B, T_w, L_p]     pinyin token ids (0=pad)
+  pinyin_map:  [B, T_w, L_p]     1-based sense id per pinyin token (0=pad)
+  pron_modified: [B, T_w]        forced sense id from tone-sandhi (0=none)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from dicttts_tpu.models.layers import RelTransformerLayers
+
+S2PA_MASK_VALUE = -1e9  # reference mask_logits uses -1e9
+
+
+class DictMsg(NamedTuple):
+    keys: jnp.ndarray
+    values: jnp.ndarray
+    key_map: jnp.ndarray
+    pinyin: jnp.ndarray
+    pinyin_map: jnp.ndarray
+
+
+def sense_remap(weights: jnp.ndarray, key_map: jnp.ndarray, pinyin_map: jnp.ndarray) -> jnp.ndarray:
+    """Re-map gloss-token attention onto pinyin-token positions by sense id.
+
+    weights: [B, T, L_k]; key_map: [B, T, L_k]; pinyin_map: [B, T, L_p].
+    out[b,t,p] = sum_l weights[b,t,l] * 1[key_map[b,t,l] == pinyin_map[b,t,p] != 0]
+    """
+    same_sense = (key_map[:, :, :, None] == pinyin_map[:, :, None, :]) & (
+        pinyin_map[:, :, None, :] != 0
+    )
+    return jnp.einsum("btl,btlp->btp", weights, same_sense.astype(weights.dtype))
+
+
+def apply_pron_rule(pron_weights: jnp.ndarray, pinyin_map: jnp.ndarray, pron_modified: jnp.ndarray) -> jnp.ndarray:
+    """Straight-through hard override of rows with a forced pronunciation.
+
+    Where pron_modified[b,t] = i > 0, the forward value becomes the indicator
+    of sense i over pinyin positions; gradients flow to the soft weights
+    unchanged (reference add_pron_rule semantics).
+    """
+    rule = pron_modified > 0  # [B, T]
+    hard = (pinyin_map == pron_modified[:, :, None]).astype(pron_weights.dtype)
+    delta = jnp.where(rule[:, :, None], hard - pron_weights, 0.0)
+    return pron_weights + jax.lax.stop_gradient(delta)
+
+
+class S2PAAttention(nn.Module):
+    """Per-character attention over its dictionary gloss tokens + pron head."""
+
+    query_size: int
+    key_size: int = 768
+    pinyin_vocab: int = 185  # value_embedding_size
+    dropout_rate: float = 0.1
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        dict_msg: DictMsg,
+        pron_modified: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ):
+        # x: [B, T, H]
+        keys, values, key_map, pinyin, pinyin_map = dict_msg
+        H = self.query_size
+        q = nn.Dense(H, use_bias=False, name="q")(x)  # [B, T, H]
+        k = nn.Dense(H, use_bias=False, name="k")(keys)  # [B, T, L_k, H]
+        v = nn.Dense(H, use_bias=False, name="v")(values)
+        # reference parity: scale by key_size^-0.5 (not query size)
+        q = q * self.key_size**-0.5
+        logits = jnp.einsum("btlh,bth->btl", k, q)
+        logits = jnp.where(key_map != 0, logits, S2PA_MASK_VALUE)
+        weights = jax.nn.softmax(logits, axis=-1)  # [B, T, L_k]
+        align = weights  # attention over gloss tokens, for diagnostics
+        weights_d = nn.Dropout(self.dropout_rate)(weights, deterministic=deterministic)
+        context = jnp.einsum("btl,btlh->bth", weights_d, v)
+        context = nn.Dense(H, use_bias=False, name="out")(context)
+
+        # pronunciation head
+        pinyin_emb = nn.Embed(
+            self.pinyin_vocab, H, embedding_init=nn.initializers.normal(H**-0.5), name="pinyin_embedding"
+        )(pinyin) * (pinyin != 0).astype(x.dtype)[..., None]  # padding_idx=0
+        pron_weights = sense_remap(weights_d, key_map, pinyin_map)
+        if pron_modified is not None:
+            pron_weights = apply_pron_rule(pron_weights, pinyin_map, pron_modified)
+        pron = jnp.einsum("btp,btph->bth", pron_weights, pinyin_emb)
+        return context, align, pron, pron_weights
+
+
+class S2PATextEncoder(nn.Module):
+    """word_emb -> semantic encoder -> S2PA -> (context + pron) ->
+    linguistic encoder (reference S2PATextEncoder, dict_encoder.py:69-144).
+
+    The semantic/linguistic encoders are 4-layer transformers WITHOUT a
+    relative window (the reference DictEncoder constructs them with
+    window_size=None)."""
+
+    word_vocab: int
+    hidden_channels: int
+    filter_channels: int
+    n_heads: int
+    kernel_size: int
+    p_dropout: float
+    n_layers: int = 4
+    pinyin_vocab: int = 185
+
+    @nn.compact
+    def __call__(
+        self,
+        word_tokens: jnp.ndarray,
+        dict_msg: DictMsg,
+        pron_modified: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ):
+        H = self.hidden_channels
+        x = nn.Embed(
+            self.word_vocab, H, embedding_init=nn.initializers.normal(H**-0.5), name="word_emb"
+        )(word_tokens) * math.sqrt(H)
+        x_mask = (word_tokens > 0).astype(x.dtype)[:, :, None]
+        x = RelTransformerLayers(
+            H, self.filter_channels, self.n_heads, self.n_layers, self.kernel_size,
+            self.p_dropout, window_size=None, name="semantic_encoder",
+        )(x, x_mask, deterministic)
+        context, dict_attn, pron, pron_align = S2PAAttention(
+            H, pinyin_vocab=self.pinyin_vocab, dropout_rate=self.p_dropout, name="s2pa"
+        )(x, dict_msg, pron_modified, deterministic)
+        context = context * x_mask
+        x = context + pron
+        x = RelTransformerLayers(
+            H, self.filter_channels, self.n_heads, self.n_layers, self.kernel_size,
+            self.p_dropout, window_size=None, name="linguistic_encoder",
+        )(x, x_mask, deterministic)
+        return x, dict_attn, pron_align, context
+
+
+class DictEncoder(nn.Module):
+    """Masked wrapper (reference DictEncoder, dict_encoder.py:146-171)."""
+
+    word_vocab: int
+    hidden_size: int
+    num_heads: int = 2
+    ffn_kernel_size: int = 5
+    dropout: float = 0.0
+    pinyin_vocab: int = 185
+
+    @nn.compact
+    def __call__(self, word_tokens, dict_msg, pron_modified=None, deterministic: bool = True):
+        nonpadding = (word_tokens > 0).astype(jnp.float32)[:, :, None]
+        x, dict_attn, pron_attn, context = S2PATextEncoder(
+            self.word_vocab,
+            self.hidden_size,
+            self.hidden_size * 4,
+            self.num_heads,
+            self.ffn_kernel_size,
+            self.dropout,
+            pinyin_vocab=self.pinyin_vocab,
+            name="s2pa_module",
+        )(word_tokens, dict_msg, pron_modified, deterministic)
+        return x * nonpadding, dict_attn, pron_attn, context
