@@ -1,0 +1,251 @@
+"""FastSpeech2 baseline acoustic model with encoder/decoder registries.
+
+Capability parity with /root/reference/modules/fastspeech/fs2.py:13-212:
+token embedding -> encoder (registry: 'fft' | 'rel_fft') -> duration
+predictor + length regulation -> optional pitch predictor/embedding (coarse
+f0 buckets + uv, frame-level) -> decoder (registry: 'fft' | 'conv' | 'wn')
+-> linear mel head. Straight-through predictor_grad mixing on predictor
+inputs; static max_frames at inference.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from dicttts_tpu.models.duration import DurationPredictor
+from dicttts_tpu.models.fft_blocks import FFTBlocks
+from dicttts_tpu.models.layers import LayerNorm, RelTransformerEncoder
+from dicttts_tpu.models.wavenet import WN
+from dicttts_tpu.ops.pitch import denorm_f0, f0_to_coarse
+from dicttts_tpu.ops.seq import gather_expand, length_regulate
+
+FS_ENCODERS: dict[str, Callable] = {}
+FS_DECODERS: dict[str, Callable] = {}
+
+
+def register_encoder(name):
+    def deco(fn):
+        FS_ENCODERS[name] = fn
+        return fn
+
+    return deco
+
+
+def register_decoder(name):
+    def deco(fn):
+        FS_DECODERS[name] = fn
+        return fn
+
+    return deco
+
+
+@register_encoder("fft")
+def _fft_encoder(cfg):
+    class FFTEncoder(nn.Module):
+        @nn.compact
+        def __call__(self, tokens, deterministic=True):
+            H = cfg.get("hidden_size", 256)
+            emb = nn.Embed(cfg["n_vocab"], H, embedding_init=nn.initializers.normal(H**-0.5))
+            x = emb(tokens) * (H**0.5)
+            nonpadding = (tokens > 0).astype(x.dtype)
+            return FFTBlocks(
+                H, cfg.get("enc_layers", 4), cfg.get("enc_ffn_kernel_size", 9),
+                cfg.get("num_heads", 2), cfg.get("dropout", 0.1),
+            )(x, nonpadding, deterministic)
+
+    return FFTEncoder()
+
+
+@register_encoder("rel_fft")
+def _rel_fft_encoder(cfg):
+    return RelTransformerEncoder(
+        n_vocab=cfg["n_vocab"],
+        hidden_channels=cfg.get("hidden_size", 256),
+        filter_channels=cfg.get("hidden_size", 256) * 4,
+        n_heads=cfg.get("num_heads", 2),
+        n_layers=cfg.get("enc_layers", 4),
+        kernel_size=cfg.get("enc_ffn_kernel_size", 5),
+        p_dropout=cfg.get("dropout", 0.1),
+    )
+
+
+@register_decoder("fft")
+def _fft_decoder(cfg):
+    class FFTDecoder(nn.Module):
+        @nn.compact
+        def __call__(self, x, nonpadding, deterministic=True):
+            return FFTBlocks(
+                cfg.get("hidden_size", 256), cfg.get("dec_layers", 4),
+                cfg.get("dec_ffn_kernel_size", 9), cfg.get("num_heads", 2),
+                cfg.get("dropout", 0.1),
+            )(x, nonpadding, deterministic)
+
+    return FFTDecoder()
+
+
+@register_decoder("conv")
+def _conv_decoder(cfg):
+    class ConvDecoder(nn.Module):
+        @nn.compact
+        def __call__(self, x, nonpadding, deterministic=True):
+            H = cfg.get("hidden_size", 256)
+            mask = nonpadding[:, :, None]
+            for i in range(cfg.get("dec_layers", 4)):
+                res = x
+                x = nn.Conv(H, (cfg.get("dec_ffn_kernel_size", 9),), padding="SAME", name=f"conv_{i}")(x * mask)
+                x = nn.relu(x)
+                x = LayerNorm(name=f"ln_{i}")(x)
+                x = nn.Dropout(cfg.get("dropout", 0.1))(x, deterministic=deterministic)
+                x = (x + res) * mask
+            return x
+
+    return ConvDecoder()
+
+
+@register_decoder("wn")
+def _wn_decoder(cfg):
+    class WNDecoder(nn.Module):
+        @nn.compact
+        def __call__(self, x, nonpadding, deterministic=True):
+            return WN(
+                cfg.get("hidden_size", 256), kernel_size=3, dilation_rate=2,
+                n_layers=cfg.get("dec_layers", 4),
+            )(x, nonpadding[:, :, None], None, deterministic)
+
+    return WNDecoder()
+
+
+class PitchPredictor(nn.Module):
+    """Conv stack predicting (f0, uv) per frame (reference
+    tts_modules.py:254-297)."""
+
+    n_chans: int = 384
+    n_layers: int = 5
+    kernel_size: int = 5
+    dropout_rate: float = 0.1
+    odim: int = 2
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        for i in range(self.n_layers):
+            x = nn.Conv(self.n_chans, (self.kernel_size,), padding="SAME", name=f"conv_{i}")(x)
+            x = nn.relu(x)
+            x = LayerNorm(eps=1e-5, name=f"ln_{i}")(x)
+            x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+        return nn.Dense(self.odim, name="out")(x)
+
+
+class FastSpeech2(nn.Module):
+    n_vocab: int
+    hidden_size: int = 256
+    out_dims: int = 80
+    encoder_type: str = "fft"
+    decoder_type: str = "fft"
+    enc_layers: int = 4
+    dec_layers: int = 4
+    enc_ffn_kernel_size: int = 9
+    dec_ffn_kernel_size: int = 9
+    num_heads: int = 2
+    dropout: float = 0.1
+    dur_predictor_layers: int = 2
+    dur_predictor_kernel: int = 3
+    predictor_hidden: int = -1
+    predictor_dropout: float = 0.5
+    predictor_kernel: int = 5
+    predictor_grad: float = 0.1
+    use_pitch_embed: bool = True
+    use_uv: bool = True
+    pitch_norm: str = "log"
+    num_spk: int = 0
+    frames_multiple: int = 1
+
+    def setup(self):
+        cfg = {
+            "n_vocab": self.n_vocab,
+            "hidden_size": self.hidden_size,
+            "enc_layers": self.enc_layers,
+            "dec_layers": self.dec_layers,
+            "enc_ffn_kernel_size": self.enc_ffn_kernel_size,
+            "dec_ffn_kernel_size": self.dec_ffn_kernel_size,
+            "num_heads": self.num_heads,
+            "dropout": self.dropout,
+        }
+        self.encoder = FS_ENCODERS[self.encoder_type](cfg)
+        self.decoder = FS_DECODERS[self.decoder_type](cfg)
+        self.mel_head = nn.Dense(self.out_dims)
+        ph = self.predictor_hidden if self.predictor_hidden > 0 else self.hidden_size
+        self.dur_predictor = DurationPredictor(
+            n_chans=ph,
+            n_layers=self.dur_predictor_layers,
+            kernel_size=self.dur_predictor_kernel,
+            dropout_rate=self.predictor_dropout,
+        )
+        if self.use_pitch_embed:
+            self.pitch_embed = nn.Embed(300, self.hidden_size)
+            self.pitch_predictor = PitchPredictor(
+                n_chans=ph, kernel_size=self.predictor_kernel
+            )
+        if self.num_spk > 0:
+            self.spk_embed_proj = nn.Embed(self.num_spk, self.hidden_size)
+
+    def __call__(
+        self,
+        txt_tokens: jnp.ndarray,  # [B, T_txt]
+        mel2ph: Optional[jnp.ndarray] = None,  # [B, T_mel]
+        spk_ids: Optional[jnp.ndarray] = None,
+        f0: Optional[jnp.ndarray] = None,  # [B, T_mel] normalized
+        uv: Optional[jnp.ndarray] = None,  # [B, T_mel]
+        infer: bool = False,
+        max_frames: Optional[int] = None,
+        deterministic: bool = True,
+    ) -> dict:
+        ret: dict = {}
+        enc = self.encoder(txt_tokens, deterministic=deterministic)
+        src_nonpadding = (txt_tokens > 0).astype(jnp.float32)[:, :, None]
+        spk = (
+            self.spk_embed_proj(spk_ids)[:, None, :]
+            if (self.num_spk > 0 and spk_ids is not None)
+            else 0.0
+        )
+
+        # duration
+        dur_inp = (enc + spk) * src_nonpadding
+        dur_inp = jax.lax.stop_gradient(dur_inp) + self.predictor_grad * (
+            dur_inp - jax.lax.stop_gradient(dur_inp)
+        )
+        dur = self.dur_predictor(dur_inp, src_nonpadding[:, :, 0], deterministic)
+        ret["dur"] = dur
+        if mel2ph is None:
+            assert max_frames is not None
+            dur_frames = DurationPredictor.out2dur(dur) * (txt_tokens > 0)
+            mel2ph = length_regulate(dur_frames, max_frames)
+        ret["mel2ph"] = mel2ph
+        tgt_nonpadding = (mel2ph > 0).astype(jnp.float32)[:, :, None]
+        decoder_inp = gather_expand(enc, mel2ph)
+
+        # pitch
+        if self.use_pitch_embed:
+            pitch_inp = (decoder_inp + spk) * tgt_nonpadding
+            pitch_inp = jax.lax.stop_gradient(pitch_inp) + self.predictor_grad * (
+                pitch_inp - jax.lax.stop_gradient(pitch_inp)
+            )
+            pitch_pred = self.pitch_predictor(pitch_inp, deterministic)
+            ret["pitch_pred"] = pitch_pred
+            if f0 is None:
+                f0 = pitch_pred[:, :, 0]
+                uv = (pitch_pred[:, :, 1] > 0).astype(jnp.float32) if self.use_uv else None
+            f0_denorm = denorm_f0(
+                f0, uv if self.use_uv else None, self.pitch_norm, pitch_padding=mel2ph == 0
+            )
+            ret["f0_denorm"] = f0_denorm
+            decoder_inp = decoder_inp + self.pitch_embed(f0_to_coarse(f0_denorm))
+
+        decoder_inp = (decoder_inp + spk) * tgt_nonpadding
+        ret["decoder_inp"] = decoder_inp
+        x = self.decoder(decoder_inp, tgt_nonpadding[:, :, 0], deterministic=deterministic)
+        ret["mel_out"] = self.mel_head(x) * tgt_nonpadding
+        return ret

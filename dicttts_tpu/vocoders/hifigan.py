@@ -1,0 +1,99 @@
+"""HiFi-GAN inference wrapper: the spec2wav/wav2spec vocoder API.
+
+Capability parity with /root/reference/vocoders/hifigan.py:16-62: loads the
+newest generator checkpoint from cfg['vocoder_ckpt'], exposes
+``spec2wav(mel) -> wav`` (jitted, static-bucketed mel length to bound
+recompiles) and the binarizer-side ``wav2spec``. Weight norm is already
+folded in this framework, matching the reference's remove_weight_norm-at-
+load behavior."""
+
+from __future__ import annotations
+
+import wave as wave_mod
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dicttts_tpu.data.collate import shape_bucket
+from dicttts_tpu.models.hifigan import HifiGanGenerator
+from dicttts_tpu.ops.mel import log10_mel
+from dicttts_tpu.utils.checkpoint import get_last_checkpoint, restore_checkpoint
+from dicttts_tpu.vocoders.base_vocoder import BaseVocoder, register_vocoder
+
+
+def save_wav(path: str, wav: np.ndarray, sr: int = 22050):
+    """Write float waveform in [-1, 1] to 16-bit PCM (stdlib; no soundfile)."""
+    pcm = (np.clip(np.asarray(wav), -1.0, 1.0) * 32767).astype("<i2")
+    with wave_mod.open(path, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sr)
+        f.writeframes(pcm.tobytes())
+
+
+def load_wav(path: str) -> tuple[np.ndarray, int]:
+    with wave_mod.open(path, "rb") as f:
+        sr = f.getframerate()
+        data = np.frombuffer(f.readframes(f.getnframes()), dtype="<i2")
+    return data.astype(np.float32) / 32768.0, sr
+
+
+@register_vocoder
+class HifiGanVocoder(BaseVocoder):
+    def __init__(self, cfg: dict, params=None):
+        self.cfg = cfg
+        self.hop = cfg.get("hop_size", 256)
+        self.model = HifiGanGenerator(
+            upsample_rates=tuple(cfg.get("upsample_rates", (8, 8, 2, 2))),
+            upsample_kernel_sizes=tuple(cfg.get("upsample_kernel_sizes", (16, 16, 4, 4))),
+            upsample_initial_channel=cfg.get("upsample_initial_channel", 512),
+            resblock_kernel_sizes=tuple(cfg.get("resblock_kernel_sizes", (3, 7, 11))),
+            resblock=str(cfg.get("resblock", "1")),
+        )
+        if params is None:
+            ckpt_dir = cfg.get("vocoder_ckpt", "")
+            last = get_last_checkpoint(ckpt_dir) if ckpt_dir else None
+            if last:
+                dummy = self.model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 80)))["params"]
+                _, state = restore_checkpoint(last, {"params_g": dummy})
+                params = state["params_g"]
+            else:
+                params = self.model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 80)))["params"]
+        self.params = params
+        self._apply = jax.jit(lambda p, m: self.model.apply({"params": p}, m))
+
+    def spec2wav(self, mel) -> np.ndarray:
+        mel = np.asarray(mel, np.float32)
+        squeeze = mel.ndim == 2
+        if squeeze:
+            mel = mel[None]
+        T = mel.shape[1]
+        Tb = shape_bucket(T, multiple=64)
+        mel_p = np.pad(mel, ((0, 0), (0, Tb - T), (0, 0)))
+        wav = np.asarray(self._apply(self.params, jnp.asarray(mel_p)))[:, : T * self.hop]
+        return wav[0] if squeeze else wav
+
+    @staticmethod
+    def wav2spec(wav_fn, cfg: dict | None = None):
+        cfg = cfg or {}
+        if isinstance(wav_fn, str):
+            wav, sr = load_wav(wav_fn)
+        else:
+            wav, sr = np.asarray(wav_fn, np.float32), cfg.get("audio_sample_rate", 22050)
+        mel = np.asarray(
+            log10_mel(
+                jnp.asarray(wav),
+                sample_rate=cfg.get("audio_sample_rate", 22050),
+                n_fft=cfg.get("fft_size", 1024),
+                hop=cfg.get("hop_size", 256),
+                win_length=cfg.get("win_size", 1024),
+                n_mels=cfg.get("audio_num_mel_bins", 80),
+                fmin=cfg.get("fmin", 80.0),
+                fmax=cfg.get("fmax", 7600.0),
+            )
+        )
+        # align wav length to an exact frame multiple (reference pads then
+        # truncates, data_gen_utils.py:136-138)
+        wav = np.pad(wav, (0, max(0, mel.shape[0] * cfg.get("hop_size", 256) - len(wav))))
+        return wav[: mel.shape[0] * cfg.get("hop_size", 256)], mel
