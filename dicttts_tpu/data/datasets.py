@@ -1,0 +1,253 @@
+"""Binary-backed datasets + batch providers (the online data pipeline).
+
+Capability parity with /root/reference/tasks/tts/dataset_utils.py and
+tasks/vocoder/dataset_utils.py: items come from the IndexedDataset binaries
+written by the binarizer (same `.data/.idx` format as the reference, so
+reference-produced corpora load directly):
+
+- `TTSBinaryDataset` covers the Base/FastSpeech/Word/Dict feature sets via
+  `kind` in {'base', 'fs', 'word', 'dict'}: mel, txt_token, mel2ph, f0/uv
+  (norm-interp), words/ph2word/mel2word, the per-word dictionary bank
+  (keys/values/key_map/pinyin/pinyin_map, BOS/EOS pad rows exactly like the
+  reference collater) and sandhi pron_modified.
+- `TTSBatchProvider` does length-sorted token-budget batching
+  (batch_by_size) and pads every batch to STATIC bucket shapes
+  (txt_buckets/mel_buckets) so XLA compiles once per bucket — the main
+  TPU-side divergence from the reference's pad-to-longest (SURVEY.md §5).
+- `VocoderDataset`: random max_samples wav crops with aligned mel windows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from typing import Optional
+
+import numpy as np
+
+from dicttts_tpu.data.collate import (
+    batch_by_size,
+    collate_1d,
+    collate_2d,
+    collate_nd,
+    ordered_indices,
+    shape_bucket,
+)
+from dicttts_tpu.ops.pitch import norm_interp_f0
+from dicttts_tpu.utils.indexed_dataset import IndexedDataset
+from dicttts_tpu.utils.text_encoder import TokenTextEncoder
+
+
+class TTSBinaryDataset:
+    def __init__(self, data_dir: str, prefix: str, cfg: dict, kind: str = "dict"):
+        self.data_dir = data_dir
+        self.prefix = prefix
+        self.cfg = cfg
+        self.kind = kind
+        self.ds = IndexedDataset(os.path.join(data_dir, prefix))
+        sizes_fn = os.path.join(data_dir, f"{prefix}_lengths.npy")
+        self.sizes = (
+            np.load(sizes_fn).tolist()
+            if os.path.exists(sizes_fn)
+            else [len(self.ds[i]["mel"]) for i in range(len(self.ds))]
+        )
+        self._dict_ds: Optional[IndexedDataset] = None
+        self._word_encoder: Optional[TokenTextEncoder] = None
+        self._pinyin_list: Optional[list] = None
+        if kind == "dict" and cfg.get("use_dict", True):
+            ws = json.load(open(os.path.join(data_dir, "word_set.json")))
+            self._word_encoder = TokenTextEncoder(ws, replace_oov="<UNK>")
+            with open(os.path.join(data_dir, "pinyin_encoder.pkl"), "rb") as f:
+                self._pinyin_list = pickle.load(f)
+
+    def __len__(self):
+        return len(self.ds)
+
+    def _dict_bank(self, words: list) -> dict:
+        """Assemble per-utterance dict-bank arrays for words[1:-1] (BOS/EOS
+        rows become zero pads, key/pinyin maps pad with 1 as the reference
+        collater does)."""
+        if self._dict_ds is None:
+            self._dict_ds = IndexedDataset(os.path.join(self.data_dir, "dict_embed"))
+        keys, key_map, values, pinyin, pinyin_map, tokens_gloss = [], [], [], [], [], []
+        for word in words[1:-1]:
+            idx = self._word_encoder.token_to_id.get(word, 2)
+            e = self._dict_ds[idx]
+            keys.append(np.asarray(e["key"], np.float32))
+            key_map.append(np.asarray(e["key_map"], np.int32))
+            values.append(np.asarray(e["value"], np.float32))
+            pinyin.append(np.asarray([self._pinyin_list.index(p) for p in e["pinyin"]], np.int32))
+            pinyin_map.append(np.asarray(e["pinyin_map"], np.int32))
+            tokens_gloss.append(e.get("tokens_gloss"))
+        out = {
+            "keys": collate_2d(keys),
+            "key_map": collate_1d(key_map),
+            "values": collate_2d(values),
+            "pinyin": collate_1d(pinyin),
+            "pinyin_map": collate_1d(pinyin_map),
+            "tokens_gloss": tokens_gloss,
+        }
+        # BOS/EOS rows (reference pads (1,1) on the word axis; maps pad=1)
+        out["keys"] = np.pad(out["keys"], ((1, 1), (0, 0), (0, 0)))
+        out["values"] = np.pad(out["values"], ((1, 1), (0, 0), (0, 0)))
+        out["key_map"] = np.pad(out["key_map"], ((1, 1), (0, 0)), constant_values=1)
+        out["pinyin"] = np.pad(out["pinyin"], ((1, 1), (0, 0)))
+        out["pinyin_map"] = np.pad(out["pinyin_map"], ((1, 1), (0, 0)), constant_values=1)
+        return out
+
+    def __getitem__(self, index: int) -> dict:
+        item = self.ds[index]
+        cfg = self.cfg
+        max_frames = cfg.get("max_frames", 1548)
+        mel = np.asarray(item["mel"], np.float32)[:max_frames]
+        T = len(mel)
+        sample = {
+            "item_name": item.get("item_name", str(index)),
+            "txt": item.get("txt", ""),
+            "txt_tokens": np.asarray(item["phone"] if "phone" in item else item["txt_token"], np.int64)[
+                : cfg.get("max_input_tokens", 1550)
+            ],
+            "mels": mel,
+            "mel_lengths": np.int32(T),
+        }
+        if self.kind in ("fs", "word", "dict"):
+            if "mel2ph" in item:
+                sample["mel2ph"] = np.asarray(item["mel2ph"], np.int64)[:T]
+            if cfg.get("use_pitch_embed") and "f0" in item:
+                f0, uv = norm_interp_f0(np.asarray(item["f0"])[:T], cfg.get("pitch_norm", "log"))
+                sample["f0"], sample["uv"] = f0, uv
+        if self.kind in ("word", "dict"):
+            sample["words"] = item["words"]
+            sample["word_tokens"] = np.asarray(item["word_tokens"], np.int64)
+            sample["word_lengths"] = np.int32(len(item["word_tokens"]))
+            sample["mel2word"] = np.asarray(item["mel2word"], np.int64)[:T]
+            sample["ph2word"] = np.asarray(item["ph2word"], np.int64)[: cfg.get("max_input_tokens", 1550)]
+            if "pron_modified" in item:
+                sample["pron_modified"] = np.asarray(item["pron_modified"], np.int64)
+        if self.kind == "dict" and self._word_encoder is not None:
+            sample.update(self._dict_bank(item["words"]))
+        return sample
+
+
+class TTSBatchProvider:
+    """Token-budget batches padded to static bucket shapes."""
+
+    NON_ARRAY_KEYS = ("item_name", "txt", "words", "tokens_gloss")
+
+    def __init__(self, dataset: TTSBinaryDataset, cfg: dict, shuffle: bool = True, devices_multiple: int = 1):
+        self.ds = dataset
+        self.cfg = cfg
+        self.shuffle = shuffle
+        self.devices_multiple = devices_multiple
+
+    def _make_batches(self):
+        sizes = self.ds.sizes
+        order = ordered_indices(
+            sizes, shuffle=self.shuffle, sort_by_len=self.cfg.get("sort_by_len", True),
+            seed=self.cfg.get("seed", 1234),
+        )
+        min_frames = self.cfg.get("min_frames", 0)
+        order = [i for i in order if sizes[i] >= min_frames]
+        return batch_by_size(
+            order,
+            lambda i: min(sizes[i], self.cfg.get("max_frames", 1548)),
+            max_tokens=self.cfg.get("max_tokens", 30000),
+            max_sentences=self.cfg.get("max_sentences", 100000),
+            required_batch_size_multiple=self.devices_multiple,
+        )
+
+    def collate(self, samples: list[dict]) -> dict:
+        cfg = self.cfg
+        txt_b = tuple(cfg.get("txt_buckets", ())) or None
+        mel_b = tuple(cfg.get("mel_buckets", ())) or None
+        t_txt = shape_bucket(max(len(s["txt_tokens"]) for s in samples), 16, txt_b)
+        t_mel = shape_bucket(max(s["mels"].shape[0] for s in samples), 64, mel_b)
+        fm = cfg.get("frames_multiple", 1)
+        t_mel = ((t_mel + fm - 1) // fm) * fm
+        batch = {
+            "txt_tokens": collate_1d([s["txt_tokens"] for s in samples], max_len=t_txt),
+            "mels": collate_2d([s["mels"][:t_mel] for s in samples], max_len=t_mel),
+            "mel_lengths": np.asarray([min(int(s["mel_lengths"]), t_mel) for s in samples], np.int32),
+            "txt_lengths": np.asarray([len(s["txt_tokens"]) for s in samples], np.int32),
+        }
+        for key in ("mel2ph", "mel2word"):
+            if key in samples[0]:
+                batch[key] = collate_1d([s[key][:t_mel] for s in samples], max_len=t_mel)
+        for key in ("f0", "uv"):
+            if key in samples[0]:
+                batch[key] = collate_1d([s[key][:t_mel] for s in samples], max_len=t_mel)
+        if "word_tokens" in samples[0]:
+            t_w = shape_bucket(max(len(s["word_tokens"]) for s in samples), 16, txt_b)
+            batch["word_tokens"] = collate_1d([s["word_tokens"] for s in samples], max_len=t_w)
+            batch["ph2word"] = collate_1d([s["ph2word"] for s in samples], max_len=t_txt)
+            batch["word_lengths"] = np.asarray([int(s["word_lengths"]) for s in samples], np.int32)
+            if "pron_modified" in samples[0]:
+                batch["pron_modified"] = collate_1d(
+                    [s["pron_modified"][:t_w] for s in samples], max_len=t_w
+                )
+            if "keys" in samples[0]:
+                for key in ("keys", "values"):
+                    arr = collate_nd([s[key] for s in samples], max_lens=(t_w, None, None))
+                    batch[key] = arr.astype(np.float32)
+                for key in ("key_map", "pinyin", "pinyin_map"):
+                    batch[key] = collate_nd([s[key] for s in samples], max_lens=(t_w, None)).astype(np.int64)
+        return batch
+
+    def _iter(self):
+        for idx_batch in self._make_batches():
+            if not idx_batch:
+                continue
+            yield self.collate([self.ds[i] for i in idx_batch])
+
+    def train_batches(self):
+        return self._iter()
+
+    def val_batches(self):
+        return self._iter()
+
+    def test_batches(self):
+        return self._iter()
+
+
+class VocoderDataset:
+    """Random wav/mel crop pairs for vocoder training (reference
+    tasks/vocoder/dataset_utils.py:49-177)."""
+
+    def __init__(self, data_dir: str, prefix: str, cfg: dict, batch_size: int = 24, seed: int = 1234):
+        self.ds = IndexedDataset(os.path.join(data_dir, prefix))
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.hop = cfg.get("hop_size", 256)
+        self.max_samples = cfg.get("max_samples", 8192)
+        self.rng = np.random.RandomState(seed)
+
+    def _crop(self, item) -> tuple[np.ndarray, np.ndarray]:
+        wav = np.asarray(item["wav"], np.float32)
+        mel = np.asarray(item["mel"], np.float32)
+        mel_win = self.max_samples // self.hop
+        if mel.shape[0] > mel_win:
+            start = self.rng.randint(0, mel.shape[0] - mel_win)
+        else:
+            start = 0
+        mel_c = mel[start : start + mel_win]
+        wav_c = wav[start * self.hop : (start + mel_win) * self.hop]
+        if mel_c.shape[0] < mel_win:  # right-pad short clips
+            mel_c = np.pad(mel_c, ((0, mel_win - mel_c.shape[0]), (0, 0)))
+            wav_c = np.pad(wav_c, (0, self.max_samples - len(wav_c)))
+        return wav_c, mel_c
+
+    def _batches(self):
+        order = self.rng.permutation(len(self.ds))
+        for i in range(0, len(order) - self.batch_size + 1, self.batch_size):
+            wavs, mels = zip(*[self._crop(self.ds[j]) for j in order[i : i + self.batch_size]])
+            yield {"wavs": np.stack(wavs), "mels": np.stack(mels)}
+
+    def train_batches(self):
+        return self._batches()
+
+    def val_batches(self):
+        return self._batches()
+
+    def test_batches(self):
+        return self._batches()

@@ -22,7 +22,7 @@ class SyntheticDictTTSProvider:
         l_pinyin: int = 4,
         embed_dim: int = 16,
         pinyin_vocab: int = 20,
-        max_frames: int = 32,
+        max_frames: int = 48,
         seed: int = 0,
     ):
         rng = np.random.RandomState(seed)
@@ -37,7 +37,7 @@ class SyntheticDictTTSProvider:
             n_words = rng.randint(4, t_words + 1)
             words = rng.randint(3, word_vocab, size=t_words)
             words[n_words:] = 0
-            durs = rng.randint(2, 5, size=t_words)
+            durs = rng.randint(4, 9, size=t_words)
             durs[n_words:] = 0
             total = min(int(durs.sum()), max_frames)
             mel2word = np.zeros(max_frames, np.int32)

@@ -1,0 +1,109 @@
+"""CLI entry: train or infer a task from a config.
+
+Capability parity with /root/reference/tasks/run.py:6-42 +
+tasks/base_task.py:317-352: resolve the config chain, import the task class
+named by cfg['task_cls'], build the trainer from config and dispatch train
+vs --infer. Usage:
+
+    python -m dicttts_tpu.run --config dicttts_tpu/configs/datasets/biaobei/dict_tts.yaml \
+        --exp_name dicttts_biaobei [--infer] [--hparams="a=1,b.c=2"] [--reset]
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib
+import logging
+import os
+
+
+def build_data_provider(cfg: dict, task_cls_name: str, mesh_size: int):
+    from dicttts_tpu.data.datasets import TTSBatchProvider, TTSBinaryDataset, VocoderDataset
+
+    data_dir = cfg.get("binary_data_dir", "")
+    if not data_dir or not os.path.exists(os.path.join(data_dir, "train.idx")):
+        raise FileNotFoundError(
+            f"binary_data_dir {data_dir!r} has no binaries; run the binarizer first "
+            "(python -m dicttts_tpu.text.binarize --config ...)"
+        )
+    if "hifigan" in task_cls_name.lower():
+        return VocoderDataset(data_dir, cfg.get("train_set_name", "train"), cfg,
+                              batch_size=cfg.get("max_sentences", 24))
+    kind = "dict" if cfg.get("use_dict") else ("word" if cfg.get("dur_level") == "word" else "fs")
+
+    class _Splits:
+        def __init__(self):
+            self.train = TTSBatchProvider(
+                TTSBinaryDataset(data_dir, cfg.get("train_set_name", "train"), cfg, kind),
+                cfg, shuffle=True, devices_multiple=mesh_size,
+            )
+            self.valid = TTSBatchProvider(
+                TTSBinaryDataset(data_dir, cfg.get("valid_set_name", "valid"), cfg, kind),
+                cfg, shuffle=False, devices_multiple=mesh_size,
+            )
+            test_cfg = dict(cfg, max_sentences=1)
+            self.test = TTSBatchProvider(
+                TTSBinaryDataset(data_dir, cfg.get("test_set_name", "test"), cfg, kind),
+                test_cfg, shuffle=False, devices_multiple=1,
+            )
+
+        def train_batches(self):
+            return self.train.train_batches()
+
+        def val_batches(self):
+            return self.valid.val_batches()
+
+        def test_batches(self):
+            return self.test.test_batches()
+
+    return _Splits()
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    parser = argparse.ArgumentParser(description="dicttts_tpu runner")
+    parser.add_argument("--config", type=str, default="")
+    parser.add_argument("--exp_name", type=str, default="")
+    parser.add_argument("--hparams", type=str, default="")
+    parser.add_argument("--infer", action="store_true")
+    parser.add_argument("--reset", action="store_true")
+    args = parser.parse_args(argv)
+
+    from dicttts_tpu.config import load_config
+    from dicttts_tpu.parallel.mesh import make_mesh
+    from dicttts_tpu.train.trainer import Trainer
+
+    cfg = load_config(
+        config=args.config, exp_name=args.exp_name, overrides=args.hparams,
+        reset=args.reset, infer=args.infer,
+    )
+    task_path = cfg["task_cls"]
+    mod, cls_name = task_path.rsplit(".", 1)
+    task_cls = getattr(importlib.import_module(mod), cls_name)
+
+    mesh = make_mesh()
+    data = build_data_provider(cfg, task_path, mesh.size)
+    task = task_cls(cfg, data)
+    trainer = Trainer(
+        work_dir=cfg.get("work_dir", ""),
+        max_updates=cfg.get("max_updates", 160000),
+        val_check_interval=cfg.get("val_check_interval", 2000),
+        num_sanity_val_steps=cfg.get("num_sanity_val_steps", 5),
+        num_ckpt_keep=cfg.get("num_ckpt_keep", 3),
+        tb_log_interval=cfg.get("tb_log_interval", 100),
+        eval_max_batches=cfg.get("eval_max_batches", -1),
+        monitor_key=cfg.get("valid_monitor_key", "total_loss"),
+        monitor_mode=cfg.get("valid_monitor_mode", "min"),
+        seed=cfg.get("seed", 1234),
+        mesh=mesh,
+        save_best=cfg.get("save_best", True),
+    )
+    if args.infer:
+        outputs = trainer.test(task)
+        logging.info("inference done: %d batches", len(outputs))
+    else:
+        trainer.fit(task)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,340 @@
+"""Offline binarization: raw corpus -> IndexedDataset binaries.
+
+Capability parity with the reference pipeline
+(/root/reference/data_gen/tts/base_binarizer.py + binarizer_zh.py):
+
+pre-align stage (`PreAlign`): iterate a dataset adapter's meta_data()
+(item_name, wav_fn, text), run the zh_dict text processor, write
+metadata.csv + phone_set.json / word_set.json.
+
+binarize stage (`ZhBinarizer`): per item — mel via the XLA STFT
+(ops/mel.py), f0 via the XLA autocorrelation extractor (ops/f0.py), phone
+alignment from MFA TextGrids when present (text/textgrid.py) or a uniform
+fallback, char-level word structures (words with <BOS>/<EOS>, word_tokens,
+ph2word, mel2word), sandhi pron_modified (text/sandhi.py); writes
+{train,valid,test}.{data,idx} + *_lengths.npy + f0 stats, and the
+dictionary-embedding bank dict_embed.{data,idx} + pinyin_encoder.pkl.
+
+Dictionary bank: per word-vocab id, every gloss of every pronunciation is
+embedded with a RoFormer LM (mean of input embedding + first 8 hidden
+layers, reference binarizer_zh.py:213-233). The LM loads from
+cfg['lm_model'] via transformers when the weights are locally available;
+this image has zero egress, so the fallback embeds gloss tokens with a
+deterministic hash-seeded gaussian — structurally identical banks (same
+shapes/maps) for end-to-end testing, swap in real RoFormer features
+offline for quality parity.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import logging
+import os
+import pickle
+from collections import Counter
+
+import numpy as np
+
+from dicttts_tpu.ops.f0 import autocorr_f0
+from dicttts_tpu.ops.mel import log10_mel
+from dicttts_tpu.text.pinyin import PUNCS, ZhG2P, load_dict, pinyin_to_tone3
+from dicttts_tpu.text.sandhi import SandhiProcessor
+from dicttts_tpu.text.textgrid import parse_textgrid, textgrid_to_mel2ph
+from dicttts_tpu.utils.indexed_dataset import IndexedDatasetBuilder
+from dicttts_tpu.utils.text_encoder import TokenTextEncoder
+from dicttts_tpu.vocoders.hifigan import load_wav
+
+log = logging.getLogger("dicttts_tpu.binarizer")
+
+
+class PreAlign:
+    """Stage 1: text processing + metadata (reference base_pre_align.py)."""
+
+    def __init__(self, cfg: dict):
+        self.cfg = cfg
+        self.g2p = ZhG2P(cfg.get("dict_path", "data/zh-dict.json"))
+
+    def meta_data(self):
+        """Yield (item_name, wav_fn, text[, spk]). Dataset adapters override."""
+        raise NotImplementedError
+
+    def process(self):
+        out_dir = self.cfg["processed_data_dir"]
+        os.makedirs(out_dir, exist_ok=True)
+        rows, phones, words = [], Counter(), Counter()
+        for item in self.meta_data():
+            item_name, wav_fn, text = item[:3]
+            spk = item[3] if len(item) > 3 else "<SINGLE_SPK>"
+            ph_list, norm_text = self.g2p.process(text)
+            rows.append([item_name, wav_fn, norm_text, " ".join(ph_list), spk])
+            phones.update(ph_list)
+            words.update(["<BOS>", "<EOS>"] + list(norm_text))
+        with open(os.path.join(out_dir, "metadata_phone.csv"), "w", newline="") as f:
+            csv.writer(f).writerows(rows)
+        json.dump(
+            sorted(phones), open(os.path.join(out_dir, "phone_set.json"), "w"), ensure_ascii=False
+        )
+        json.dump(
+            [w for w, _ in words.most_common(self.cfg.get("word_size", 8000))],
+            open(os.path.join(out_dir, "word_set.json"), "w"),
+            ensure_ascii=False,
+        )
+        log.info("pre-align: %d items, %d phones, %d words", len(rows), len(phones), len(words))
+        return rows
+
+
+class BiaobeiPreAlign(PreAlign):
+    """Adapter for BZNSYP/Biaobei (reference egs/datasets/audio/biaobei/
+    pre_align.py): parses ProsodyLabeling/000001-010000.txt, strips #N
+    prosody marks."""
+
+    def meta_data(self):
+        raw = self.cfg["raw_data_dir"]
+        lines = open(
+            os.path.join(raw, "ProsodyLabeling", "000001-010000.txt"), encoding="utf-8"
+        ).readlines()
+        for i in range(0, len(lines), 2):
+            item_name, text = lines[i].strip().split("\t")
+            import re
+
+            text = re.sub(r"#\d", "", text)
+            yield item_name, os.path.join(raw, "Wave", f"{item_name}.wav"), text
+
+
+class ZhBinarizer:
+    def __init__(self, cfg: dict):
+        self.cfg = cfg
+        self.zh_dict = load_dict(cfg.get("dict_path", "data/zh-dict.json"))
+        self.sandhi = SandhiProcessor(self.zh_dict)
+        self.g2p = ZhG2P(cfg.get("dict_path", "data/zh-dict.json"))
+
+    # -- feature extraction ---------------------------------------------------
+    def _wav_features(self, wav: np.ndarray):
+        cfg = self.cfg
+        import jax.numpy as jnp
+
+        mel = np.asarray(
+            log10_mel(
+                jnp.asarray(wav),
+                sample_rate=cfg.get("audio_sample_rate", 22050),
+                n_fft=cfg.get("fft_size", 1024),
+                hop=cfg.get("hop_size", 256),
+                win_length=cfg.get("win_size", 1024),
+                n_mels=cfg.get("audio_num_mel_bins", 80),
+                fmin=cfg.get("fmin", 80.0),
+                fmax=cfg.get("fmax", 7600.0),
+            )
+        )
+        f0 = np.asarray(
+            autocorr_f0(
+                jnp.asarray(wav),
+                sample_rate=cfg.get("audio_sample_rate", 22050),
+                hop=cfg.get("hop_size", 256),
+                n_frames=mel.shape[0],
+            )
+        )
+        return mel, f0
+
+    # -- structure building ---------------------------------------------------
+    def _word_structures(self, text: str, ph_list: list[str]):
+        """words (+BOS/EOS), ph2word, per-char grouping of phones."""
+        words = ["<BOS>"] + list(text) + ["<EOS>"]
+        ph2word = []
+        full_ph = ["<BOS>"] + ph_list + ["<EOS>"]
+        word_idx = 1
+        char_cursor = 0
+        for i, ph in enumerate(full_ph):
+            if ph == "<BOS>":
+                ph2word.append(1)
+            elif ph == "<EOS>":
+                ph2word.append(len(words))
+            elif ph in ("#", "|"):
+                ph2word.append(word_idx)  # separators stick to the previous char
+            else:
+                # a char contributes 1-2 phones (initial?, final) or is punctuation
+                if char_cursor == 0:
+                    word_idx += 1
+                char = text[word_idx - 2] if word_idx - 2 < len(text) else ""
+                n_ph = len(self.g2p.char_phones(char)) if char else 1
+                char_cursor += 1
+                ph2word.append(word_idx)
+                if char_cursor >= n_ph:
+                    char_cursor = 0
+        return words, full_ph, ph2word
+
+    def process_item(self, item_name: str, wav_fn: str, text: str, ph_list: list[str],
+                     tg_path: str | None, ph_encoder, word_encoder) -> dict | None:
+        wav, sr = (load_wav(wav_fn) if isinstance(wav_fn, str) else (np.asarray(wav_fn, np.float32), self.cfg.get("audio_sample_rate", 22050)))
+        mel, f0 = self._wav_features(wav)
+        T = mel.shape[0]
+        words, full_ph, ph2word = self._word_structures(text, ph_list)
+        if tg_path and os.path.exists(tg_path):
+            intervals = parse_textgrid(open(tg_path, encoding="utf-8").read())
+            mel2ph, durs = textgrid_to_mel2ph(
+                intervals, full_ph, T, self.cfg.get("hop_size", 256), sr
+            )
+        else:
+            # uniform fallback: spread frames across non-separator phones
+            real = [i for i, p in enumerate(full_ph) if p not in ("#", "|")]
+            per = max(T // max(len(real), 1), 1)
+            mel2ph = []
+            for j, i in enumerate(real):
+                n = per if j < len(real) - 1 else T - per * (len(real) - 1)
+                mel2ph.extend([i + 1] * max(n, 0))
+            mel2ph = (mel2ph + [real[-1] + 1] * T)[:T]
+        mel2word = [ph2word[m - 1] if m > 0 else 0 for m in mel2ph]
+        pron_modified = [0] + self.sandhi.process_sandhi(text, None) + [0]
+        return {
+            "item_name": item_name,
+            "txt": text,
+            "phone": ph_encoder.encode(" ".join(full_ph)),
+            "ph": " ".join(full_ph),
+            "mel": mel.astype(np.float32),
+            "wav": wav.astype(np.float32) if self.cfg.get("with_wav") else None,
+            "f0": f0.astype(np.float32),
+            "mel2ph": np.asarray(mel2ph, np.int64),
+            "words": words,
+            "word_tokens": word_encoder.encode(" ".join(words)),
+            "ph2word": np.asarray(ph2word, np.int64),
+            "mel2word": np.asarray(mel2word, np.int64),
+            "pron_modified": np.asarray(pron_modified, np.int64),
+            "len": T,
+            "sec": len(wav) / sr,
+        }
+
+    # -- dictionary bank -------------------------------------------------------
+    def _gloss_encoder(self):
+        """Returns fn(gloss_text) -> [L, 768] features; RoFormer when local
+        weights exist, deterministic hash-gaussian otherwise."""
+        lm = self.cfg.get("lm_model", "")
+        if lm and os.path.exists(lm):
+            import torch
+            from transformers import AutoModel, AutoTokenizer
+
+            tok = AutoTokenizer.from_pretrained(lm)
+            model = AutoModel.from_pretrained(lm, output_hidden_states=True).eval()
+
+            def encode(text: str):
+                with torch.no_grad():
+                    ids = tok(text, return_tensors="pt", truncation=True, max_length=64)
+                    out = model(**ids)
+                    hs = out.hidden_states  # (emb, layer1, ...)
+                    feats = sum(hs[:9]) / 9.0  # input emb + first 8 layers
+                    return feats[0].numpy().astype(np.float32), tok.convert_ids_to_tokens(ids["input_ids"][0])
+
+            return encode
+
+        dim = self.cfg.get("dict_embed_dim", 768)
+
+        def encode(text: str):
+            toks = list(text)[:64]
+            feats = np.stack(
+                [np.random.RandomState(hash(t) % 2**31).randn(dim).astype(np.float32) for t in toks]
+            ) if toks else np.zeros((1, dim), np.float32)
+            return feats, toks
+
+        return encode
+
+    def gen_dict_embeddings(self, word_encoder: TokenTextEncoder, out_dir: str):
+        """Per word-vocab id: concat gloss features across pronunciations
+        with sense-id maps + pinyin token structures (reference
+        binarizer_zh.py:236-313)."""
+        encode = self._gloss_encoder()
+        pinyin_vocab: list[str] = ["<pad>", "<unk>"]
+        builder = IndexedDatasetBuilder(os.path.join(out_dir, "dict_embed"))
+        dim = self.cfg.get("dict_embed_dim", 768)
+        for idx in range(word_encoder.vocab_size):
+            word = word_encoder.id_to_token.get(idx, "")
+            prons = self.zh_dict.prons(word)
+            keys, key_map, pinyin_toks, pinyin_map, glosses = [], [], [], [], []
+            for sense_id, pron in enumerate(prons, start=1):
+                gloss_text = "".join(self.zh_dict.glosses(word, pron))[:48] or word
+                feats, toks = encode(gloss_text)
+                keys.append(feats)
+                key_map.extend([sense_id] * len(feats))
+                glosses.append(toks)
+                initial, final = pinyin_to_tone3(pron)
+                for p in (initial, final):
+                    if p:
+                        if p not in pinyin_vocab:
+                            pinyin_vocab.append(p)
+                        pinyin_toks.append(p)
+                        pinyin_map.append(sense_id)
+            if not keys:
+                keys = [np.zeros((1, dim), np.float32)]
+                key_map = [0]
+                pinyin_toks, pinyin_map, glosses = ["<pad>"], [0], [[]]
+            key_arr = np.concatenate(keys, axis=0)
+            builder.add_item(
+                {
+                    "key": key_arr,
+                    "value": key_arr,
+                    "key_map": np.asarray(key_map, np.int64),
+                    "pinyin": pinyin_toks,
+                    "pinyin_map": np.asarray(pinyin_map, np.int64),
+                    "tokens_gloss": glosses,
+                }
+            )
+        builder.finalize()
+        with open(os.path.join(out_dir, "pinyin_encoder.pkl"), "wb") as f:
+            pickle.dump(pinyin_vocab, f)
+        log.info("dict bank: %d entries, pinyin vocab %d", word_encoder.vocab_size, len(pinyin_vocab))
+        return pinyin_vocab
+
+    # -- main -------------------------------------------------------------------
+    def process(self):
+        cfg = self.cfg
+        proc_dir, out_dir = cfg["processed_data_dir"], cfg["binary_data_dir"]
+        os.makedirs(out_dir, exist_ok=True)
+        phone_set = json.load(open(os.path.join(proc_dir, "phone_set.json")))
+        word_set = json.load(open(os.path.join(proc_dir, "word_set.json")))
+        phone_set = sorted(set(phone_set) | {"<BOS>", "<EOS>", "#", "|"})
+        ph_encoder = TokenTextEncoder(phone_set, replace_oov="<UNK>")
+        word_encoder = TokenTextEncoder(word_set, replace_oov="<UNK>")
+        json.dump(phone_set, open(os.path.join(out_dir, "phone_set.json"), "w"), ensure_ascii=False)
+        json.dump(word_set, open(os.path.join(out_dir, "word_set.json"), "w"), ensure_ascii=False)
+        json.dump({"<SINGLE_SPK>": 0}, open(os.path.join(out_dir, "spk_map.json"), "w"))
+
+        rows = list(csv.reader(open(os.path.join(proc_dir, "metadata_phone.csv"))))
+        test_num = cfg.get("test_num", min(200, max(1, len(rows) // 10)))
+        valid_num = cfg.get("valid_num", test_num)
+        splits = {
+            "test": rows[:test_num],
+            "valid": rows[:valid_num],
+            "train": rows[test_num:],
+        }
+        tg_dir = os.path.join(proc_dir, "mfa_outputs")
+        for split, split_rows in splits.items():
+            builder = IndexedDatasetBuilder(os.path.join(out_dir, split))
+            lengths, f0_all = [], []
+            for row in split_rows:
+                item_name, wav_fn, text, ph_str = row[0], row[1], row[2], row[3]
+                tg = os.path.join(tg_dir, f"{item_name}.TextGrid")
+                try:
+                    item = self.process_item(
+                        item_name, wav_fn, text, ph_str.split(), tg if os.path.exists(tg) else None,
+                        ph_encoder, word_encoder,
+                    )
+                except Exception as e:  # skip broken items, keep the job alive
+                    log.warning("skip %s: %s", item_name, e)
+                    continue
+                builder.add_item(item)
+                lengths.append(item["len"])
+                f0_all.append(item["f0"][item["f0"] > 0])
+            builder.finalize()
+            if split_rows and not lengths:
+                raise RuntimeError(
+                    f"binarize {split}: ALL {len(split_rows)} items failed — "
+                    "systemic error (see warnings above), refusing to write an empty split"
+                )
+            np.save(os.path.join(out_dir, f"{split}_lengths.npy"), np.asarray(lengths))
+            if f0_all:
+                f0_cat = np.concatenate(f0_all) if any(len(x) for x in f0_all) else np.zeros(1)
+                np.save(
+                    os.path.join(out_dir, f"{split}_f0s_mean_std.npy"),
+                    np.asarray([f0_cat.mean(), f0_cat.std()]),
+                )
+            log.info("binarized %s: %d items", split, len(lengths))
+        if cfg.get("use_dict", True):
+            self.gen_dict_embeddings(word_encoder, out_dir)

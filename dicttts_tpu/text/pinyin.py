@@ -1,0 +1,173 @@
+"""Pinyin utilities and dictionary-based Mandarin g2p.
+
+Capability parity with the reference zh text processor
+(/root/reference/data_gen/tts/txt_processors/zh.py:47-88), which uses
+pypinyin INITIALS/FINALS_TONE3. pypinyin is not available in this image, so
+g2p resolves each character's candidate pronunciations from the online
+Chinese dictionary (data/zh-dict.json, the same asset the S2PA module
+attends over) and decomposes tone-marked syllables into
+(initial, final+tone3) with pypinyin's strict-mode rules (y/w zero
+initials, iou/uei/uen restoration, u-after-jqx -> v). Heteronym choice
+defaults to the dictionary's first reading — at runtime Dict-TTS resolves
+heteronyms through S2PA attention, which is the paper's point; the rule
+engine in text/sandhi.py supplies the hard overrides.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from functools import lru_cache
+
+TONE_MARKS = {
+    "ā": ("a", 1), "á": ("a", 2), "ǎ": ("a", 3), "à": ("a", 4),
+    "ē": ("e", 1), "é": ("e", 2), "ě": ("e", 3), "è": ("e", 4),
+    "ī": ("i", 1), "í": ("i", 2), "ǐ": ("i", 3), "ì": ("i", 4),
+    "ō": ("o", 1), "ó": ("o", 2), "ǒ": ("o", 3), "ò": ("o", 4),
+    "ū": ("u", 1), "ú": ("u", 2), "ǔ": ("u", 3), "ù": ("u", 4),
+    "ǖ": ("v", 1), "ǘ": ("v", 2), "ǚ": ("v", 3), "ǜ": ("v", 4),
+    "ü": ("v", 0), "ḿ": ("m", 2), "ń": ("n", 2), "ň": ("n", 3), "ǹ": ("n", 4),
+    "ê": ("e", 0), "ế": ("e", 2), "ề": ("e", 4),
+}
+
+INITIALS = [
+    "zh", "ch", "sh", "b", "p", "m", "f", "d", "t", "n", "l",
+    "g", "k", "h", "j", "q", "x", "r", "z", "c", "s",
+]
+
+PUNCS = "！，。？、；：!,.?;:"
+
+
+def strip_tone(syllable: str) -> tuple[str, int]:
+    """Tone-marked pinyin -> (plain syllable with v for u-umlaut, tone 0-4)."""
+    tone = 0
+    out = []
+    for ch in syllable:
+        if ch in TONE_MARKS:
+            base, t = TONE_MARKS[ch]
+            out.append(base)
+            if t:
+                tone = t
+        else:
+            out.append(ch)
+    return "".join(out), tone
+
+
+def split_initial_final(syllable: str) -> tuple[str, str]:
+    """Plain (tone-less) syllable -> (initial, strict-mode final)."""
+    s = syllable
+    initial = ""
+    for cand in INITIALS:
+        if s.startswith(cand):
+            initial, s = cand, s[len(cand):]
+            break
+    if initial == "" and s:
+        # zero-initial y/w restoration (strict finals)
+        if s.startswith("yu"):
+            s = "v" + s[2:]
+        elif s.startswith("yi"):
+            s = s[1:]
+        elif s.startswith("y"):
+            s = "i" + s[1:]
+        elif s.startswith("wu"):
+            s = s[1:]
+        elif s.startswith("w"):
+            s = "u" + s[1:]
+    else:
+        # strict restorations after an initial
+        if s == "iu":
+            s = "iou"
+        elif s == "ui":
+            s = "uei"
+        elif s == "un" and initial not in ("j", "q", "x", "y"):
+            s = "uen"
+        if initial in ("j", "q", "x") and s.startswith("u"):
+            s = "v" + s[1:]
+    return initial, s
+
+
+def pinyin_to_tone3(syllable: str) -> tuple[str, str]:
+    """Tone-marked syllable -> (initial, final+tone3 digit or '')."""
+    plain, tone = strip_tone(syllable.strip())
+    initial, final = split_initial_final(plain)
+    return initial, final + (str(tone) if tone else "")
+
+
+class ZhDict:
+    """The online Chinese dictionary: char -> {pinyin: [glosses]}."""
+
+    def __init__(self, path: str):
+        with open(path, encoding="utf-8") as f:
+            self.entries: dict[str, dict[str, list[str]]] = json.load(f)
+
+    def prons(self, char: str) -> list[str]:
+        return list(self.entries.get(char, {}).keys())
+
+    def glosses(self, char: str, pron: str) -> list[str]:
+        return self.entries.get(char, {}).get(pron, [])
+
+    def __contains__(self, char: str) -> bool:
+        return char in self.entries
+
+    def __len__(self):
+        return len(self.entries)
+
+
+@lru_cache(maxsize=4)
+def load_dict(path: str) -> ZhDict:
+    return ZhDict(path)
+
+
+class ZhG2P:
+    """Character-level g2p over the dictionary, with jieba word boundaries.
+
+    process(txt) returns (ph_list, txt) where ph_list interleaves
+    [initial, final_tone3] per char with '|' between chars of the same word
+    and '#' at jieba word boundaries — the reference's separator scheme
+    (txt_processors/zh.py:57-80). ASCII words become 'ENG'.
+    """
+
+    def __init__(self, dict_path: str):
+        self.zh_dict = load_dict(dict_path)
+
+    def char_phones(self, char: str) -> list[str]:
+        prons = self.zh_dict.prons(char)
+        if not prons:
+            return [char]  # punctuation / unknown passthrough
+        initial, final = pinyin_to_tone3(prons[0])
+        return [p for p in (initial, final) if p]
+
+    @staticmethod
+    def preprocess(txt: str) -> str:
+        from dicttts_tpu.text.text_norm import normalize_text
+
+        txt = normalize_text(txt.strip())
+        txt = re.sub("[　 ]+", "", txt)
+        return txt
+
+    def process(self, txt: str) -> tuple[list[str], str]:
+        import jieba
+
+        txt = self.preprocess(txt)
+        words = list(jieba.cut(txt))
+        ph_list: list[str] = []
+        for w_i, word in enumerate(words):
+            if w_i > 0:
+                ph_list.append("#")
+            if re.fullmatch(r"[a-zA-Z']+", word):
+                ph_list.append("ENG")
+                continue
+            for c_i, char in enumerate(word):
+                if c_i > 0:
+                    ph_list.append("|")
+                ph_list.extend(self.char_phones(char))
+        # drop word boundaries adjacent to silence phones (reference :81-87)
+        sil = set(PUNCS)
+        out: list[str] = []
+        for i, p in enumerate(ph_list):
+            if p == "#" and (
+                (i > 0 and ph_list[i - 1] in sil) or (i + 1 < len(ph_list) and ph_list[i + 1] in sil)
+            ):
+                continue
+            out.append(p)
+        return out, txt

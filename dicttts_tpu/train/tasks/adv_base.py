@@ -1,0 +1,134 @@
+"""Shared GAN machinery for acoustic-model tasks with the multi-window mel
+discriminator (reference PortaSpeechAdvTask, /root/reference/tasks/tts/
+ps_adv.py:34-78,230-265). Subclasses provide the generator model and
+`_gen_losses`; this base contributes the discriminator, both optimizers,
+and the fused two-optimizer jitted train step."""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from dicttts_tpu.models.discriminator import MultiWindowDiscriminator
+from dicttts_tpu.utils.schedulers import rsqrt_schedule, step_decay_schedule
+
+
+class AdversarialTTSTask:
+    """Mixin/base: generator + multi-window mel discriminator training."""
+
+    def _init_adv(self, cfg):
+        self.cfg = cfg
+        self.lambda_adv = cfg.get("lambda_mel_adv", 0.05)
+        self.disc_start_steps = cfg.get("disc_start_steps", 0)
+        self.disc_interval = cfg.get("disc_interval", 1)
+        self.disc = MultiWindowDiscriminator(
+            time_lengths=tuple([32, 64, 128][: cfg.get("disc_win_num", 3)]),
+            freq_length=cfg.get("audio_num_mel_bins", 80),
+            hidden_size=cfg.get("mel_disc_hidden_size", 128),
+            norm_type=cfg.get("disc_norm", "in"),
+            reduction=cfg.get("disc_reduction", "stack"),
+        )
+        self.tx_g = optax.chain(
+            optax.clip_by_global_norm(cfg.get("generator_grad_norm", 1.0)),
+            optax.adamw(
+                rsqrt_schedule(
+                    cfg.get("lr", 1.0), cfg.get("warmup_updates", 8000), cfg.get("hidden_size", 192)
+                ),
+                b1=cfg.get("optimizer_adam_beta1", 0.9),
+                b2=cfg.get("optimizer_adam_beta2", 0.98),
+                weight_decay=cfg.get("weight_decay", 0.0),
+            ),
+        )
+        sched = cfg.get("discriminator_scheduler_params", {"step_size": 40000, "gamma": 0.5})
+        opt_p = cfg.get("discriminator_optimizer_params", {"eps": 1e-6, "weight_decay": 0.0})
+        self.tx_d = optax.chain(
+            optax.clip_by_global_norm(cfg.get("discriminator_grad_norm", 1.0)),
+            optax.adamw(
+                step_decay_schedule(cfg.get("disc_lr", 1e-4), sched["step_size"], sched["gamma"]),
+                b1=cfg.get("optimizer_adam_beta1", 0.9),
+                b2=cfg.get("optimizer_adam_beta2", 0.98),
+                eps=opt_p.get("eps", 1e-6),
+                weight_decay=opt_p.get("weight_decay", 0.0),
+            ),
+        )
+
+    def _init_disc_params(self, rng):
+        return self.disc.init(
+            {"params": rng}, jnp.zeros((1, 128, self.cfg.get("audio_num_mel_bins", 80))),
+            jnp.array([128]), rng=jax.random.PRNGKey(0),
+        )["params"]
+
+    # subclass contract: _gen_losses(params_g, params_d, batch, rng, train)
+    #   -> (total_loss, (losses_dict, model_out_dict with 'mel_out'))
+
+    def _adv_gen_loss(self, params_d, mel_pred, mel_lengths, rng):
+        """LSGAN-to-1 term added to the generator objective."""
+        d_out = self.disc.apply(
+            {"params": params_d}, mel_pred, mel_lengths,
+            rng=jax.random.fold_in(rng, 2), deterministic=False,
+            rngs={"dropout": jax.random.fold_in(rng, 3)},
+        )
+        return jnp.mean(jnp.square(d_out["y"] - 1.0) * d_out["win_valid"][None, :])
+
+    def _disc_losses(self, params_d, mel_fake, mel_real, lengths, rng):
+        out_r = self.disc.apply(
+            {"params": params_d}, mel_real, lengths,
+            rng=jax.random.fold_in(rng, 0), deterministic=False,
+            rngs={"dropout": jax.random.fold_in(rng, 1)},
+        )
+        out_f = self.disc.apply(
+            {"params": params_d}, mel_fake, lengths,
+            rng=jax.random.fold_in(rng, 2), deterministic=False,
+            rngs={"dropout": jax.random.fold_in(rng, 3)},
+        )
+        wv = out_r["win_valid"][None, :]
+        loss_r = jnp.mean(jnp.square(out_r["y"] - 1.0) * wv)
+        loss_f = jnp.mean(jnp.square(out_f["y"]) * wv)
+        return loss_r + loss_f, {"r": loss_r, "f": loss_f}
+
+    def train_step(self, state, batch, rng):
+        rng_g, rng_d = jax.random.split(rng)
+        (loss_g, (g_losses, out)), grads_g = jax.value_and_grad(
+            self._gen_losses, has_aux=True
+        )(state["params_g"], state["params_d"], batch, rng_g, True)
+        updates, opt_g = self.tx_g.update(grads_g, state["opt_g"], state["params_g"])
+        params_g = optax.apply_updates(state["params_g"], updates)
+
+        mel_fake = jax.lax.stop_gradient(out["mel_out"])
+        (loss_d, d_losses), grads_d = jax.value_and_grad(self._disc_losses, has_aux=True)(
+            state["params_d"], mel_fake, batch["mels"], batch["mel_lengths"], rng_d
+        )
+        step = state["step"]
+        disc_on = jnp.logical_and(
+            jnp.logical_and(step >= self.disc_start_steps, self.lambda_adv > 0),
+            (step % self.disc_interval) == 0,
+        ).astype(jnp.float32)
+        grads_d = jax.tree.map(lambda g: g * disc_on, grads_d)
+        updates_d, opt_d = self.tx_d.update(grads_d, state["opt_d"], state["params_d"])
+        params_d = optax.apply_updates(state["params_d"], updates_d)
+        new_state = {
+            "params_g": params_g, "params_d": params_d,
+            "opt_g": opt_g, "opt_d": opt_d, "step": step + 1,
+        }
+        metrics = {**g_losses, **d_losses, "total_loss": loss_g, "disc_loss": loss_d}
+        return new_state, metrics
+
+    def val_step(self, state, batch, rng):
+        _, (losses, _) = self._gen_losses(
+            state["params_g"], state["params_d"], batch, rng, train=False
+        )
+        losses["total_loss"] = sum(losses.values())
+        return losses
+
+    # -- data --------------------------------------------------------------
+    def train_batches(self) -> Iterable[dict]:
+        return self.data.train_batches()
+
+    def val_batches(self) -> Iterable[dict]:
+        return self.data.val_batches()
+
+    def test_batches(self) -> Iterable[dict]:
+        return self.data.test_batches()

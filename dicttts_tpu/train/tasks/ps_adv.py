@@ -1,36 +1,18 @@
-"""DictTTS training task: adversarial VAE training with two optimizers.
-
-Capability parity with the reference DictTTSTask
-(/root/reference/tasks/tts/dict_tts.py:24-177): generator losses = KL
-(clamped >= 0.002) * lambda_kl + composite mel loss + word-duration loss +
-LSGAN adversarial-to-1 * lambda_mel_adv; the discriminator trains on
-independent random crops of the same batch's (detached) generator output.
-GAN plumbing lives in AdversarialTTSTask (one jitted step, masked disc
-gating); see train/tasks/adv_base.py.
-
-Batch keys: word_tokens [B,Tw], keys/values [B,Tw,Lk,E], key_map, pinyin,
-pinyin_map, pron_modified, mel2word [B,Tm], mels [B,Tm,80],
-word_lengths [B], mel_lengths [B].
-"""
+"""PortaSpeech adversarial task (reference tasks/tts/ps_adv.py): the
+ps_flow objective (KL + mel + word-dur) plus the multi-window mel
+discriminator, two optimizers in one jitted step."""
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
 
-from dicttts_tpu.models.dict_encoder import DictMsg
-from dicttts_tpu.models.dict_tts import DictTTS
+from dicttts_tpu.models.portaspeech import PortaSpeech
 from dicttts_tpu.train import losses as L
 from dicttts_tpu.train.tasks.adv_base import AdversarialTTSTask
 
 
-def _dict_msg(batch) -> DictMsg:
-    return DictMsg(
-        batch["keys"], batch["values"], batch["key_map"], batch["pinyin"], batch["pinyin_map"]
-    )
-
-
-class DictTTSTask(AdversarialTTSTask):
+class PortaSpeechAdvTask(AdversarialTTSTask):
     def __init__(self, cfg, data=None):
         self._init_adv(cfg)
         self.data = data
@@ -38,13 +20,15 @@ class DictTTSTask(AdversarialTTSTask):
         self.lambda_kl = cfg.get("lambda_kl", 1.0)
         self.kl_min = cfg.get("kl_min", 0.002)
         self.infer_max_frames = cfg.get("max_frames", 1548)
-        self.model = DictTTS(
-            word_vocab=cfg.get("word_size", 8000),
+        self.word_len = cfg.get("_init_max_words", 128)
+        self.model = PortaSpeech(
+            n_vocab=cfg.get("n_vocab", cfg.get("word_size", 8000)),
             hidden_size=cfg.get("hidden_size", 192),
             num_heads=cfg.get("num_heads", 2),
+            enc_layers=cfg.get("enc_layers", 4),
+            word_enc_layers=cfg.get("word_enc_layers", 4),
             enc_ffn_kernel_size=cfg.get("enc_ffn_kernel_size", 5),
             dropout=cfg.get("dropout", 0.1),
-            pinyin_vocab=cfg.get("value_embedding_size", 185),
             dur_predictor_layers=cfg.get("dur_predictor_layers", 3),
             dur_predictor_kernel=cfg.get("dur_predictor_kernel", 5),
             predictor_dropout=cfg.get("predictor_dropout", 0.2),
@@ -64,20 +48,15 @@ class DictTTSTask(AdversarialTTSTask):
         )
 
     def build_state(self, rng) -> dict:
-        cfg = self.cfg
-        Tw, Tm = cfg.get("_init_tw", 8), cfg.get("_init_tm", 32)
-        Lk, Lp = cfg.get("_init_lk", 8), cfg.get("_init_lp", 6)
-        E = cfg.get("dict_embed_dim", 768)
-        z = jnp.zeros
-        dm = DictMsg(
-            z((1, Tw, Lk, E)), z((1, Tw, Lk, E)),
-            z((1, Tw, Lk), jnp.int32), z((1, Tw, Lp), jnp.int32), z((1, Tw, Lp), jnp.int32),
-        )
+        Tph, Tm, W = 8, 32, 4
         r1, r2, r3 = jax.random.split(rng, 3)
         params_g = self.model.init(
             {"params": r1, "sample": r2},
-            jnp.ones((1, Tw), jnp.int32), dm, z((1, Tw), jnp.int32),
-            mel2word=jnp.ones((1, Tm), jnp.int32), tgt_mels=z((1, Tm, 80)),
+            jnp.ones((1, Tph), jnp.int32),
+            jnp.ones((1, Tph), jnp.int32),
+            W,
+            mel2word=jnp.ones((1, Tm), jnp.int32),
+            tgt_mels=jnp.zeros((1, Tm, 80)),
         )["params"]
         params_d = self._init_disc_params(r3)
         return {
@@ -88,19 +67,24 @@ class DictTTSTask(AdversarialTTSTask):
             "step": jnp.zeros((), jnp.int32),
         }
 
-    def _gen_losses(self, params_g, params_d, batch, rng, train: bool):
+    def _run_model(self, params_g, batch, rng, train: bool, infer: bool = False):
         rngs = {"sample": jax.random.fold_in(rng, 0), "dropout": jax.random.fold_in(rng, 1)}
-        out = self.model.apply(
+        return self.model.apply(
             {"params": params_g},
-            batch["word_tokens"],
-            _dict_msg(batch),
-            batch.get("pron_modified"),
-            mel2word=batch["mel2word"],
+            batch["txt_tokens"],
+            batch["ph2word"],
+            batch["word_tokens"].shape[1] if "word_tokens" in batch else self.word_len,
+            mel2word=None if infer else batch["mel2word"],
             spk_ids=batch.get("spk_ids"),
-            tgt_mels=batch["mels"],
+            tgt_mels=batch.get("mels"),
+            infer=infer,
+            max_frames=self.infer_max_frames if infer else None,
             deterministic=not train,
             rngs=rngs,
         )
+
+    def _gen_losses(self, params_g, params_d, batch, rng, train: bool):
+        out = self._run_model(params_g, batch, rng, train)
         losses = {"kl": L.clamp_kl(out["kl"] * self.lambda_kl, self.kl_min)}
         L.add_mel_losses(self.mel_loss_spec, out["mel_out"], batch["mels"], losses)
         losses["wdur"] = L.word_dur_loss(
@@ -111,26 +95,8 @@ class DictTTSTask(AdversarialTTSTask):
                 self._adv_gen_loss(params_d, out["mel_out"], batch["mel_lengths"], rng)
                 * self.lambda_adv
             )
-        total = sum(losses.values())
-        return total, (losses, out)
+        return sum(losses.values()), (losses, out)
 
     def test_step(self, state, batch, rng):
-        """Inference: predicted durations, sampled prior, argmax pinyin ids
-        for PER scoring (reference dict_tts.py:294-311)."""
-        out = self.model.apply(
-            {"params": state["params_g"]},
-            batch["word_tokens"],
-            _dict_msg(batch),
-            batch.get("pron_modified"),
-            infer=True,
-            max_frames=self.infer_max_frames,
-            rngs={"sample": rng},
-        )
-        pron_idx = jnp.argmax(out["pron_attn"], axis=-1)  # [B, Tw]
-        pinyin_ids = jnp.take_along_axis(batch["pinyin"], pron_idx[:, :, None], axis=2)[..., 0]
-        return {
-            "mel_out": out["mel_out"],
-            "mel2word": out["mel2word"],
-            "pron_attn": out["pron_attn"],
-            "pinyin_pred": pinyin_ids,
-        }
+        out = self._run_model(state["params_g"], batch, rng, train=False, infer=True)
+        return {"mel_out": out["mel_out"], "mel2word": out["mel2word"], "attn": out["attn"]}
