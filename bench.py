@@ -24,8 +24,8 @@ def main():
     from dicttts_tpu.models.hifigan import HifiGanGenerator
 
     SR, HOP = 22050, 256
-    B, Tw, Lk, Lp, E = 1, 48, 24, 4, 768  # ~48-char utterance
-    MAX_FRAMES = 608  # ~7.06 s of audio, frames_multiple-aligned
+    B, Tw, Lk, Lp, E = 1, 38, 24, 4, 768  # ~38-char utterance
+    MAX_FRAMES = 608  # = 38 words x 16 frames, ~7.06 s of audio
 
     rng = np.random.RandomState(0)
     model = DictTTS(word_vocab=8000, hidden_size=192)

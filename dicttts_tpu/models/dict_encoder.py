@@ -74,12 +74,18 @@ def apply_pron_rule(pron_weights: jnp.ndarray, pinyin_map: jnp.ndarray, pron_mod
 
 
 class S2PAAttention(nn.Module):
-    """Per-character attention over its dictionary gloss tokens + pron head."""
+    """Per-character attention over its dictionary gloss tokens + pron head.
+
+    Two compute paths: the fused Pallas kernel (ops/s2pa_pallas.py, one
+    VMEM-resident pass; used on TPU when deterministic — no weight dropout)
+    and the XLA einsum path (training, with dropout on the weights).
+    """
 
     query_size: int
     key_size: int = 768
     pinyin_vocab: int = 185  # value_embedding_size
     dropout_rate: float = 0.1
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -97,19 +103,26 @@ class S2PAAttention(nn.Module):
         v = nn.Dense(H, use_bias=False, name="v")(values)
         # reference parity: scale by key_size^-0.5 (not query size)
         q = q * self.key_size**-0.5
-        logits = jnp.einsum("btlh,bth->btl", k, q)
-        logits = jnp.where(key_map != 0, logits, S2PA_MASK_VALUE)
-        weights = jax.nn.softmax(logits, axis=-1)  # [B, T, L_k]
-        align = weights  # attention over gloss tokens, for diagnostics
-        weights_d = nn.Dropout(self.dropout_rate)(weights, deterministic=deterministic)
-        context = jnp.einsum("btl,btlh->bth", weights_d, v)
+
+        if self.use_pallas and deterministic:
+            from dicttts_tpu.ops.s2pa_pallas import s2pa_fused
+
+            context, weights, pron_weights = s2pa_fused(q, k, v, key_map, pinyin_map)
+            align = weights
+        else:
+            logits = jnp.einsum("btlh,bth->btl", k, q)
+            logits = jnp.where(key_map != 0, logits, S2PA_MASK_VALUE)
+            weights = jax.nn.softmax(logits, axis=-1)  # [B, T, L_k]
+            align = weights  # attention over gloss tokens, for diagnostics
+            weights_d = nn.Dropout(self.dropout_rate)(weights, deterministic=deterministic)
+            context = jnp.einsum("btl,btlh->bth", weights_d, v)
+            pron_weights = sense_remap(weights_d, key_map, pinyin_map)
         context = nn.Dense(H, use_bias=False, name="out")(context)
 
         # pronunciation head
         pinyin_emb = nn.Embed(
             self.pinyin_vocab, H, embedding_init=nn.initializers.normal(H**-0.5), name="pinyin_embedding"
         )(pinyin) * (pinyin != 0).astype(x.dtype)[..., None]  # padding_idx=0
-        pron_weights = sense_remap(weights_d, key_map, pinyin_map)
         if pron_modified is not None:
             pron_weights = apply_pron_rule(pron_weights, pinyin_map, pron_modified)
         pron = jnp.einsum("btp,btph->bth", pron_weights, pinyin_emb)
@@ -132,6 +145,7 @@ class S2PATextEncoder(nn.Module):
     p_dropout: float
     n_layers: int = 4
     pinyin_vocab: int = 185
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -151,7 +165,8 @@ class S2PATextEncoder(nn.Module):
             self.p_dropout, window_size=None, name="semantic_encoder",
         )(x, x_mask, deterministic)
         context, dict_attn, pron, pron_align = S2PAAttention(
-            H, pinyin_vocab=self.pinyin_vocab, dropout_rate=self.p_dropout, name="s2pa"
+            H, pinyin_vocab=self.pinyin_vocab, dropout_rate=self.p_dropout,
+            use_pallas=self.use_pallas, name="s2pa"
         )(x, dict_msg, pron_modified, deterministic)
         context = context * x_mask
         x = context + pron
@@ -171,6 +186,7 @@ class DictEncoder(nn.Module):
     ffn_kernel_size: int = 5
     dropout: float = 0.0
     pinyin_vocab: int = 185
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, word_tokens, dict_msg, pron_modified=None, deterministic: bool = True):
@@ -183,6 +199,7 @@ class DictEncoder(nn.Module):
             self.ffn_kernel_size,
             self.dropout,
             pinyin_vocab=self.pinyin_vocab,
+            use_pallas=self.use_pallas,
             name="s2pa_module",
         )(word_tokens, dict_msg, pron_modified, deterministic)
         return x * nonpadding, dict_attn, pron_attn, context

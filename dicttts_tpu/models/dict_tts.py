@@ -56,6 +56,7 @@ class DictTTS(nn.Module):
     fvae_strides: int = 4
     # speaker conditioning
     num_spk: int = 0  # 0 = single speaker
+    use_pallas_s2pa: bool = False
 
     def setup(self):
         self.dict_encoder = DictEncoder(
@@ -65,6 +66,7 @@ class DictTTS(nn.Module):
             self.enc_ffn_kernel_size,
             self.dropout,
             self.pinyin_vocab,
+            self.use_pallas_s2pa,
         )
         self.dur_predictor = DurationPredictor(
             n_chans=self.hidden_size,

@@ -42,6 +42,10 @@ class AdversarialTTSTask:
                 weight_decay=cfg.get("weight_decay", 0.0),
             ),
         )
+        # gradient accumulation (reference accumulate_grad_batches semantics)
+        accum = cfg.get("accumulate_grad_batches", 1)
+        if accum > 1:
+            self.tx_g = optax.MultiSteps(self.tx_g, every_k_schedule=accum)
         sched = cfg.get("discriminator_scheduler_params", {"step_size": 40000, "gamma": 0.5})
         opt_p = cfg.get("discriminator_optimizer_params", {"eps": 1e-6, "weight_decay": 0.0})
         self.tx_d = optax.chain(
@@ -94,7 +98,12 @@ class AdversarialTTSTask:
         (loss_g, (g_losses, out)), grads_g = jax.value_and_grad(
             self._gen_losses, has_aux=True
         )(state["params_g"], state["params_d"], batch, rng_g, True)
+        # NaN guard: skip the update on a non-finite loss (reference
+        # print_nan_grads / NaN-skip, utils/trainer.py:320-327)
+        finite = jnp.isfinite(loss_g).astype(jnp.float32)
+        grads_g = jax.tree.map(lambda g: g * finite, grads_g)
         updates, opt_g = self.tx_g.update(grads_g, state["opt_g"], state["params_g"])
+        updates = jax.tree.map(lambda u: u * finite, updates)
         params_g = optax.apply_updates(state["params_g"], updates)
 
         mel_fake = jax.lax.stop_gradient(out["mel_out"])

@@ -1,0 +1,47 @@
+"""Pallas fused S2PA kernel vs the XLA reference (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dicttts_tpu.ops.s2pa_pallas import s2pa_fused, s2pa_reference
+
+
+def _inputs(B=2, T=5, L=16, H=32, P=8, seed=0):
+    rng = np.random.RandomState(seed)
+    q = jnp.asarray(rng.randn(B, T, H).astype(np.float32)) * 0.1
+    k = jnp.asarray(rng.randn(B, T, L, H).astype(np.float32)) * 0.1
+    v = jnp.asarray(rng.randn(B, T, L, H).astype(np.float32))
+    key_map = jnp.asarray(rng.randint(0, 4, (B, T, L)).astype(np.int32))
+    key_map = key_map.at[:, :, 0].set(1)
+    pinyin_map = jnp.asarray(
+        np.tile(np.array([1, 1, 2, 2, 3, 3, 0, 0]), (B, T, 1)).astype(np.int32)
+    )
+    return q, k, v, key_map, pinyin_map
+
+
+def test_fused_matches_reference():
+    q, k, v, km, pm = _inputs()
+    ctx_r, w_r, pron_r = s2pa_reference(q, k, v, km, pm)
+    ctx_f, w_f, pron_f = s2pa_fused(q, k, v, km, pm, tile_r=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(ctx_f), np.asarray(ctx_r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(w_f), np.asarray(w_r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pron_f), np.asarray(pron_r), atol=1e-5)
+
+
+def test_fused_row_padding_tile_not_divisible():
+    # B*T = 6 rows with tile 4 -> padded to 8; results must be unaffected
+    q, k, v, km, pm = _inputs(B=2, T=3)
+    ctx_r, _, pron_r = s2pa_reference(q, k, v, km, pm)
+    ctx_f, _, pron_f = s2pa_fused(q, k, v, km, pm, tile_r=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(ctx_f), np.asarray(ctx_r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pron_f), np.asarray(pron_r), atol=1e-5)
+
+
+def test_fully_masked_rows_stable():
+    # tokens whose key_map is all zero (pad words) must not produce NaNs
+    q, k, v, km, pm = _inputs()
+    km = km.at[:, -1].set(0)
+    ctx, w, pron = s2pa_fused(q, k, v, km, pm, tile_r=4, interpret=True)
+    assert np.isfinite(np.asarray(ctx)).all()
+    assert np.isfinite(np.asarray(w)).all()
