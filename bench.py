@@ -17,6 +17,11 @@ import numpy as np
 
 def main():
     import jax
+
+    # persistent compile cache: the heavy vocoder graph compiles once per
+    # machine; subsequent bench runs (e.g. the driver's) start warm
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from dicttts_tpu.models.dict_encoder import DictMsg
@@ -50,14 +55,22 @@ def main():
     params = model.init(rngs, words, dm, pron_mod, mel2word=mel2word, tgt_mels=mels0)["params"]
     voc_params = voc.init(jax.random.PRNGKey(2), mels0)["params"]
 
+    # two jits (acoustic / vocoder): halves peak compile memory and lets the
+    # persistent cache hit each piece independently
     @jax.jit
-    def text_to_wav(params, voc_params, words, dm, pron_mod, key):
+    def text_to_mel(params, words, dm, pron_mod, key):
         out = model.apply(
             {"params": params}, words, dm, pron_mod, infer=True,
             max_frames=MAX_FRAMES, rngs={"sample": key},
         )
-        wav = voc.apply({"params": voc_params}, out["mel_out"])
-        return wav
+        return out["mel_out"]
+
+    @jax.jit
+    def mel_to_wav(voc_params, mel):
+        return voc.apply({"params": voc_params}, mel)
+
+    def text_to_wav(params, voc_params, words, dm, pron_mod, key):
+        return mel_to_wav(voc_params, text_to_mel(params, words, dm, pron_mod, key))
 
     # warmup/compile
     key = jax.random.PRNGKey(3)

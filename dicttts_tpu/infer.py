@@ -1,0 +1,116 @@
+"""One-shot synthesis: Chinese text -> waveform.
+
+The user-facing inference API (the reference's `--infer` path condensed):
+normalizes text, builds word tokens + the per-utterance dictionary bank
+from the binarized dict_embed, runs DictTTS (predicted durations, sampled
+prior), vocodes with HiFi-GAN, and returns/saves the wav plus the predicted
+pinyin per character (for PER scoring).
+
+    from dicttts_tpu.infer import DictTTSInferencer
+    inf = DictTTSInferencer(cfg)            # loads newest ckpt + vocoder
+    wav, info = inf.synthesize("今天天气真好")
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dicttts_tpu.data.collate import shape_bucket
+from dicttts_tpu.models.dict_encoder import DictMsg
+from dicttts_tpu.text.pinyin import ZhG2P, load_dict
+from dicttts_tpu.text.sandhi import SandhiProcessor
+from dicttts_tpu.train.tasks.dict_tts import DictTTSTask
+from dicttts_tpu.utils.checkpoint import get_last_checkpoint, restore_checkpoint
+from dicttts_tpu.utils.indexed_dataset import IndexedDataset
+from dicttts_tpu.utils.text_encoder import TokenTextEncoder
+from dicttts_tpu.vocoders import get_vocoder_cls
+from dicttts_tpu.vocoders.hifigan import save_wav
+
+
+class DictTTSInferencer:
+    def __init__(self, cfg: dict, state=None):
+        self.cfg = cfg
+        data_dir = cfg["binary_data_dir"]
+        self.word_encoder = TokenTextEncoder(
+            json.load(open(os.path.join(data_dir, "word_set.json"))), replace_oov="<UNK>"
+        )
+        with open(os.path.join(data_dir, "pinyin_encoder.pkl"), "rb") as f:
+            self.pinyin_list = pickle.load(f)
+        self.dict_ds = IndexedDataset(os.path.join(data_dir, "dict_embed"))
+        self.g2p = ZhG2P(cfg.get("dict_path", "data/zh-dict.json"))
+        self.sandhi = SandhiProcessor(load_dict(cfg.get("dict_path", "data/zh-dict.json")))
+        self.task = DictTTSTask(cfg)
+        if state is None:
+            state = self.task.build_state(jax.random.PRNGKey(0))
+            last = get_last_checkpoint(cfg.get("work_dir", ""))
+            if last:
+                _, state = restore_checkpoint(last, state)
+        self.state = state
+        self.vocoder = get_vocoder_cls(cfg.get("vocoder", "HifiGanVocoder"))(cfg)
+        self._jit_test = jax.jit(self.task.test_step)
+
+    def _bank_for(self, chars: list[str]) -> dict:
+        keys, key_map, pinyin, pinyin_map = [], [], [], []
+        for ch in chars:
+            idx = self.word_encoder.token_to_id.get(ch, 2)
+            e = self.dict_ds[idx]
+            keys.append(np.asarray(e["key"], np.float32))
+            key_map.append(np.asarray(e["key_map"], np.int64))
+            pinyin.append(np.asarray([self.pinyin_list.index(p) for p in e["pinyin"]], np.int64))
+            pinyin_map.append(np.asarray(e["pinyin_map"], np.int64))
+        L = max(k.shape[0] for k in keys)
+        P = max(p.shape[0] for p in pinyin)
+        E = keys[0].shape[-1]
+        n = len(chars)
+        out = {
+            "keys": np.zeros((n, L, E), np.float32),
+            "key_map": np.zeros((n, L), np.int64),
+            "pinyin": np.zeros((n, P), np.int64),
+            "pinyin_map": np.zeros((n, P), np.int64),
+        }
+        for i in range(n):
+            out["keys"][i, : keys[i].shape[0]] = keys[i]
+            out["key_map"][i, : key_map[i].shape[0]] = key_map[i]
+            out["pinyin"][i, : pinyin[i].shape[0]] = pinyin[i]
+            out["pinyin_map"][i, : pinyin_map[i].shape[0]] = pinyin_map[i]
+        out["values"] = out["keys"]
+        return out
+
+    def synthesize(self, text: str, seed: int = 0, out_wav: str | None = None):
+        norm = self.g2p.preprocess(text)
+        chars = list(norm)
+        words = ["<BOS>"] + chars + ["<EOS>"]
+        Tw = shape_bucket(len(words), 8)
+        word_tokens = np.zeros((1, Tw), np.int64)
+        ids = self.word_encoder.encode(" ".join(words))
+        word_tokens[0, : len(ids)] = ids
+        bank = self._bank_for(words)
+        batch = {
+            "word_tokens": word_tokens,
+            "pron_modified": np.pad(
+                np.asarray([0] + self.sandhi.process_sandhi(norm, None) + [0], np.int64),
+                (0, Tw - len(words)),
+            )[None],
+            "keys": np.pad(bank["keys"], ((0, Tw - len(words)), (0, 0), (0, 0)))[None],
+            "values": np.pad(bank["values"], ((0, Tw - len(words)), (0, 0), (0, 0)))[None],
+            "key_map": np.pad(bank["key_map"], ((0, Tw - len(words)), (0, 0)))[None],
+            "pinyin": np.pad(bank["pinyin"], ((0, Tw - len(words)), (0, 0)))[None],
+            "pinyin_map": np.pad(bank["pinyin_map"], ((0, Tw - len(words)), (0, 0)))[None],
+        }
+        out = jax.device_get(self._jit_test(self.state, batch, jax.random.PRNGKey(seed)))
+        n_frames = int((out["mel2word"][0] > 0).sum())
+        mel = out["mel_out"][0, :n_frames]
+        wav = self.vocoder.spec2wav(mel)
+        pinyin_pred = [
+            self.pinyin_list[int(i)] if int(i) < len(self.pinyin_list) else "?"
+            for i in out["pinyin_pred"][0, 1 : len(chars) + 1]
+        ]
+        if out_wav:
+            save_wav(out_wav, wav, self.cfg.get("audio_sample_rate", 22050))
+        return wav, {"mel": mel, "pinyin": pinyin_pred, "text": norm, "n_frames": n_frames}

@@ -102,6 +102,23 @@ class BiaobeiPreAlign(PreAlign):
             yield item_name, os.path.join(raw, "Wave", f"{item_name}.wav"), text
 
 
+class WenetSpeechPreAlign(PreAlign):
+    """Adapter for the WenetSpeech podcast subset (reference
+    egs/datasets/audio/wenetspeech/pre_align.py): reads the extracted-wav
+    manifest (tab-separated wav_path\ttext, podcast lines only)."""
+
+    def meta_data(self):
+        raw = self.cfg["raw_data_dir"]
+        manifest = os.path.join(raw, "extracted_wav", "wenetspeech.txt")
+        for line in open(manifest, encoding="utf-8"):
+            line = line.strip()
+            if not line or "podcast" not in line:
+                continue
+            wav_fn, text = line.split("\t")[:2]
+            base = "_".join(wav_fn.split("/")[-2:])
+            yield f"asr_data_{base}", wav_fn, text, "asr_data"
+
+
 class ZhBinarizer:
     def __init__(self, cfg: dict):
         self.cfg = cfg

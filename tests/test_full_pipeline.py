@@ -118,3 +118,29 @@ def test_full_train_and_infer_from_binaries(corpus):
     assert np.isfinite(out["mel_out"]).all()
     # pinyin predictions decode through the bank's pinyin ids
     assert out["pinyin_pred"].shape == batch["word_tokens"].shape
+
+
+def test_one_shot_inferencer(corpus, tmp_path):
+    import pickle
+
+    cfg = dict(
+        corpus,
+        max_frames=256, use_pitch_embed=False,
+        hidden_size=16, num_heads=2, enc_ffn_kernel_size=3, dropout=0.0,
+        latent_size=4, fvae_enc_dec_hidden=16, fvae_enc_n_layers=1, fvae_dec_n_layers=1,
+        prior_glow_hidden=8, prior_glow_n_blocks=1, mel_disc_hidden_size=8,
+        disc_win_num=1, mel_loss="l1:1.0", dur_predictor_layers=2, frames_multiple=4,
+        work_dir=str(tmp_path / "noexist"),
+        upsample_initial_channel=16, resblock_kernel_sizes=[3],
+        resblock_dilation_sizes=[[1, 3, 5]],
+    )
+    with open(os.path.join(cfg["binary_data_dir"], "pinyin_encoder.pkl"), "rb") as f:
+        cfg["value_embedding_size"] = len(pickle.load(f)) + 2
+    from dicttts_tpu.infer import DictTTSInferencer
+
+    inf = DictTTSInferencer(cfg)  # random-init state (no ckpt): exercises the path
+    wav, info = inf.synthesize("你好天气", out_wav=str(tmp_path / "o.wav"))
+    assert len(info["pinyin"]) == 4
+    assert info["n_frames"] > 0
+    assert wav.shape[0] == info["n_frames"] * 256
+    assert os.path.exists(str(tmp_path / "o.wav"))
