@@ -77,12 +77,15 @@ def main():
     wav = text_to_wav(params, voc_params, words, dm, pron_mod, key)
     jax.block_until_ready(wav)
 
+    # per-utterance latency: block every iteration (no async pipelining)
     n_iters = 20
-    t0 = time.perf_counter()
+    times = []
     for i in range(n_iters):
+        t0 = time.perf_counter()
         wav = text_to_wav(params, voc_params, words, dm, pron_mod, jax.random.fold_in(key, i))
-    jax.block_until_ready(wav)
-    elapsed = (time.perf_counter() - t0) / n_iters
+        jax.block_until_ready(wav)
+        times.append(time.perf_counter() - t0)
+    elapsed = float(np.median(times))
 
     audio_secs = MAX_FRAMES * HOP / SR * B
     rtf = elapsed / audio_secs

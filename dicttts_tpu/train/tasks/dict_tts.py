@@ -115,6 +115,36 @@ class DictTTSTask(AdversarialTTSTask):
         total = sum(losses.values())
         return total, (losses, out)
 
+    def validation_artifacts(self, state, batch, rng):
+        """TB audio + figures every validation (reference dict_tts.py
+        validation logging: wav, mel compare, dict-attention)."""
+        import numpy as np
+
+        from dicttts_tpu.utils import plot
+
+        out = jax.device_get(jax.jit(self.test_step)(state, batch, rng))
+        batch = jax.device_get(batch)
+        n = int(np.asarray(batch["mel_lengths"])[0])
+        n_pred = int((out["mel2word"][0] > 0).sum())
+        arts = {"figures": {}, "audio": {}}
+        arts["figures"]["mel_gt_vs_pred"] = plot.spec_figure(
+            out["mel_out"][0][:n_pred], np.asarray(batch["mels"])[0][:n]
+        )
+        arts["figures"]["pron_attn"] = plot.attn_figure(out["pron_attn"][0], "pron attention")
+        if self.cfg.get("vocoder_ckpt") or self.cfg.get("log_val_audio", False):
+            try:
+                from dicttts_tpu.vocoders import get_vocoder_cls
+
+                voc = get_vocoder_cls(self.cfg.get("vocoder", "HifiGanVocoder"))(self.cfg)
+                sr = self.cfg.get("audio_sample_rate", 22050)
+                arts["audio"]["pred"] = (voc.spec2wav(out["mel_out"][0][:n_pred]), sr)
+                arts["audio"]["gt_mel_vocoded"] = (
+                    voc.spec2wav(np.asarray(batch["mels"])[0][:n]), sr,
+                )
+            except Exception:
+                pass
+        return arts
+
     def test_step(self, state, batch, rng):
         """Inference: predicted durations, sampled prior, argmax pinyin ids
         for PER scoring (reference dict_tts.py:294-311)."""

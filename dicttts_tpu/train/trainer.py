@@ -137,6 +137,7 @@ class Trainer:
                 if self.global_step % self.val_check_interval == 0:
                     val_metrics = self._evaluate(task, state, val_step, rng)
                     self._save(state, val_metrics)
+                    self._log_artifacts(task, state, rng)
         # final checkpoint
         self._save(state, self._evaluate(task, state, val_step, rng))
         return state
@@ -181,6 +182,25 @@ class Trainer:
             self.log_metrics(means, "val")
             log.info("validation @ %d: %s", self.global_step, means)
         return means
+
+    def _log_artifacts(self, task, state, rng):
+        """Audio/figure validation logging (reference valid_infer_interval
+        behavior, tasks/tts/dict_tts.py:127-177): tasks may implement
+        `validation_artifacts(state, batch, rng) -> {audio: {name: (wav,
+        sr)}, figures: {name: Figure}}` on the first val batch."""
+        writer = self._get_writer()
+        if writer is None or not hasattr(task, "validation_artifacts"):
+            return
+        try:
+            batch = next(iter(task.val_batches()))
+            batch = shard_batch(pad_batch_to_devices(batch, self.mesh.size), self.mesh)
+            arts = task.validation_artifacts(state, batch, rng)
+            for name, (wav, sr) in arts.get("audio", {}).items():
+                writer.add_audio(name, np.asarray(wav)[:, None], self.global_step, sample_rate=sr)
+            for name, fig in arts.get("figures", {}).items():
+                writer.add_figure(name, fig, self.global_step)
+        except Exception as e:  # artifacts must never kill training
+            log.warning("validation artifact logging failed: %s", e)
 
     def _save(self, state, val_metrics: dict):
         if not (self.is_chief and self.work_dir):
