@@ -84,3 +84,35 @@ def test_wav2spec_formula():
     wav, mel = HifiGanVocoder.wav2spec(wav_in, cfg)
     assert mel.shape[1] == 80
     assert len(wav) == mel.shape[0] * 256  # exact frame alignment
+
+
+def test_upsample_conv_matches_conv_transpose():
+    """Subpixel upsampling must be numerically identical to the cropped
+    VALID transposed conv it replaces."""
+    import flax.linen as nn
+    from dicttts_tpu.models.hifigan import UpsampleConv
+
+    k, s, Cin, Cout, T = 16, 8, 12, 6, 10
+    up = UpsampleConv(Cout, k, s)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, T, Cin).astype(np.float32))
+    params = up.init(jax.random.PRNGKey(0), x)
+    y_sub = up.apply(params, x)
+    ct = nn.ConvTranspose(Cout, (k,), strides=(s,), padding="VALID")
+    ct_params = {"params": {"kernel": params["params"]["kernel"],
+                            "bias": params["params"]["bias"]}}
+    y_ref = ct.apply(ct_params, x)
+    crop = (k - s) // 2
+    y_ref = y_ref[:, crop:-crop]
+    assert y_sub.shape == y_ref.shape == (2, T * s, Cout)
+    np.testing.assert_allclose(np.asarray(y_sub), np.asarray(y_ref), atol=2e-5)
+
+
+def test_upsample_conv_odd_ratio():
+    from dicttts_tpu.models.hifigan import UpsampleConv
+
+    for k, s in [(4, 2), (16, 16), (9, 3)]:
+        up = UpsampleConv(4, k, s)
+        x = jnp.ones((1, 6, 3))
+        params = up.init(jax.random.PRNGKey(1), x)
+        y = up.apply(params, x)
+        assert y.shape == (1, 6 * s, 4), (k, s, y.shape)
