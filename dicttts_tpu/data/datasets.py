@@ -177,6 +177,9 @@ class TTSBatchProvider:
         for key in ("f0", "uv"):
             if key in samples[0]:
                 batch[key] = collate_1d([s[key][:t_mel] for s in samples], max_len=t_mel)
+        batch["_meta"] = [
+            {k: s.get(k) for k in self.NON_ARRAY_KEYS if k in s} for s in samples
+        ]
         if "word_tokens" in samples[0]:
             t_w = shape_bucket(max(len(s["word_tokens"]) for s in samples), 16, txt_b)
             batch["word_tokens"] = collate_1d([s["word_tokens"] for s in samples], max_len=t_w)

@@ -123,7 +123,7 @@ class DictTTS(nn.Module):
         if mel2word is None:
             assert max_frames is not None, "inference needs a static max_frames"
             dur_frames = DurationPredictor.out2dur(dur) * nonpadding.astype(jnp.int32)
-            mel2word = length_regulate(dur_frames, max_frames)
+            mel2word = length_regulate(dur_frames, max_frames, nonpadding)
             mel2word = pad_frames_multiple(mel2word, self.frames_multiple)
         tgt_nonpadding = (mel2word > 0).astype(jnp.float32)[:, :, None]
         ret["mel2word"] = mel2word

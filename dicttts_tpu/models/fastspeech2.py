@@ -222,7 +222,7 @@ class FastSpeech2(nn.Module):
         if mel2ph is None:
             assert max_frames is not None
             dur_frames = DurationPredictor.out2dur(dur) * (txt_tokens > 0)
-            mel2ph = length_regulate(dur_frames, max_frames)
+            mel2ph = length_regulate(dur_frames, max_frames, (txt_tokens > 0))
         ret["mel2ph"] = mel2ph
         tgt_nonpadding = (mel2ph > 0).astype(jnp.float32)[:, :, None]
         decoder_inp = gather_expand(enc, mel2ph)

@@ -16,6 +16,30 @@ import jax.numpy as jnp
 from dicttts_tpu.models.wavenet import WN
 
 
+class ConditionalConvBlocks(nn.Module):
+    """Residual conv blocks with additive conditioning — the lighter
+    coupling-net alternative to WN (reference SpeedySpeech
+    ConditionalConvBlocks used by glow_modules.py:100-103 nn_type='conv')."""
+
+    hidden_channels: int
+    kernel_size: int = 3
+    n_layers: int = 4
+
+    @nn.compact
+    def __call__(self, x, x_mask, g=None, deterministic: bool = True):
+        if g is not None:
+            x = x + nn.Conv(self.hidden_channels, (1,), name="cond")(g)
+        for i in range(self.n_layers):
+            res = x
+            h = nn.Conv(self.hidden_channels, (self.kernel_size,), padding="SAME", name=f"conv_{i}")(
+                x * x_mask
+            )
+            h = nn.relu(h)
+            h = nn.Conv(self.hidden_channels, (1,), name=f"proj_{i}")(h)
+            x = (res + h) * x_mask
+        return x
+
+
 class ResidualCouplingLayer(nn.Module):
     channels: int
     hidden_channels: int
@@ -24,6 +48,7 @@ class ResidualCouplingLayer(nn.Module):
     n_layers: int = 4
     gin_channels: int = 0
     mean_only: bool = True
+    nn_type: str = "wn"  # 'wn' | 'conv'
 
     @nn.compact
     def __call__(self, x, x_mask, g=None, reverse: bool = False, deterministic: bool = True):
@@ -31,14 +56,19 @@ class ResidualCouplingLayer(nn.Module):
         half = self.channels // 2
         x0, x1 = x[..., :half], x[..., half:]
         h = nn.Conv(self.hidden_channels, (1,), name="pre")(x0) * x_mask
-        h = WN(
-            self.hidden_channels,
-            self.kernel_size,
-            self.dilation_rate,
-            self.n_layers,
-            self.gin_channels,
-            name="enc",
-        )(h, x_mask, g, deterministic)
+        if self.nn_type == "conv":
+            h = ConditionalConvBlocks(
+                self.hidden_channels, self.kernel_size, self.n_layers, name="enc"
+            )(h, x_mask, g, deterministic)
+        else:
+            h = WN(
+                self.hidden_channels,
+                self.kernel_size,
+                self.dilation_rate,
+                self.n_layers,
+                self.gin_channels,
+                name="enc",
+            )(h, x_mask, g, deterministic)
         post = nn.Conv(
             half * (2 - int(self.mean_only)),
             (1,),
@@ -68,6 +98,7 @@ class ResidualCouplingBlock(nn.Module):
     n_layers: int = 4
     n_flows: int = 4
     gin_channels: int = 0
+    nn_type: str = "wn"
 
     @nn.compact
     def __call__(self, x, x_mask, g=None, reverse: bool = False, deterministic: bool = True):
@@ -80,6 +111,7 @@ class ResidualCouplingBlock(nn.Module):
                 self.n_layers,
                 self.gin_channels,
                 mean_only=True,
+                nn_type=self.nn_type,
                 name=f"coupling_{i}",
             )
             for i in range(self.n_flows)

@@ -156,8 +156,9 @@ class PortaSpeech(nn.Module):
         ret["dur"] = dur
         if mel2word is None:
             assert max_frames is not None
-            dur_frames = DurationPredictor.out2dur(dur)
-            mel2word = length_regulate(dur_frames, max_frames)
+            word_nonpad = (jnp.sum(jnp.abs(word_states), -1) > 0)
+            dur_frames = DurationPredictor.out2dur(dur) * word_nonpad
+            mel2word = length_regulate(dur_frames, max_frames, word_nonpad)
             mel2word = pad_frames_multiple(mel2word, self.frames_multiple)
         ret["mel2word"] = mel2word
         tgt_nonpadding = (mel2word > 0).astype(jnp.float32)[:, :, None]

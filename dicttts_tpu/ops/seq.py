@@ -27,15 +27,22 @@ def sequence_mask(lengths: jnp.ndarray, max_len: int) -> jnp.ndarray:
     return jnp.arange(max_len, dtype=lengths.dtype)[None, :] < lengths[:, None]
 
 
-def length_regulate(durations: jnp.ndarray, max_frames: int) -> jnp.ndarray:
+def length_regulate(
+    durations: jnp.ndarray, max_frames: int, nonpadding: jnp.ndarray | None = None
+) -> jnp.ndarray:
     """Expand per-token durations into a mel2token index map.
 
     durations: [B, T] non-negative int32 (pad tokens must carry duration 0).
     Returns mel2token [B, max_frames] int32 where frame f maps to token
     ``t+1`` iff ``cumsum[t-1] <= f < cumsum[t]``; frames beyond the total
     duration are 0 (pad). Matches the reference LengthRegulator semantics
-    (1-based token ids, 0 = padding) with a static output length.
+    (1-based token ids, 0 = padding) with a static output length, including
+    the all-zero-durations fallback (fill real tokens with duration 1,
+    reference tts_modules.py:240-243) when ``nonpadding`` is given.
     """
+    if nonpadding is not None:
+        all_zero = jnp.sum(durations, axis=-1, keepdims=True) == 0
+        durations = jnp.where(all_zero, nonpadding.astype(durations.dtype), durations)
     csum = jnp.cumsum(durations, axis=-1)  # [B, T]
     frames = jnp.arange(max_frames, dtype=csum.dtype)[None, :]  # [1, F]
     # token index for each frame = #cumsum entries <= frame

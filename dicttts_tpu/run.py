@@ -67,7 +67,20 @@ def main(argv=None):
     parser.add_argument("--hparams", type=str, default="")
     parser.add_argument("--infer", action="store_true")
     parser.add_argument("--reset", action="store_true")
+    parser.add_argument(
+        "--multihost", action="store_true",
+        help="initialize jax.distributed for multi-host DP over DCN "
+        "(coordinator/process env vars per the standard JAX cluster setup)",
+    )
     args = parser.parse_args(argv)
+
+    if args.multihost:
+        import jax
+
+        # one process per host joins the global mesh; batches shard over all
+        # global devices and gradient all-reduce rides ICI within a slice,
+        # DCN across slices (SURVEY.md §2.3 rebuild plan)
+        jax.distributed.initialize()
 
     from dicttts_tpu.config import load_config
     from dicttts_tpu.parallel.mesh import make_mesh

@@ -115,6 +115,67 @@ class DictTTSTask(AdversarialTTSTask):
         total = sum(losses.values())
         return total, (losses, out)
 
+    def after_test_step(self, batch_idx, batch, out):
+        """Persist inference outputs: wav (when a vocoder ckpt is set), mel
+        npy, and the meta.csv row with predicted pinyin for PER scoring
+        (reference test scaffold, tasks/tts/tts_base.py:247-376 +
+        dict_tts.py:294-311)."""
+        import csv
+        import os
+
+        import numpy as np
+
+        out_dir = os.path.join(self.cfg.get("work_dir", "infer_out") or "infer_out", "generated")
+        os.makedirs(out_dir, exist_ok=True)
+        if not hasattr(self, "_pinyin_list"):
+            import pickle
+
+            pe = os.path.join(self.cfg.get("binary_data_dir", ""), "pinyin_encoder.pkl")
+            self._pinyin_list = pickle.load(open(pe, "rb")) if os.path.exists(pe) else None
+            self._vocoder = None
+            if self.cfg.get("vocoder_ckpt"):
+                from dicttts_tpu.vocoders import get_vocoder_cls
+
+                self._vocoder = get_vocoder_cls(self.cfg.get("vocoder", "HifiGanVocoder"))(self.cfg)
+        rows = []
+        metas = batch.get("_meta", [{}] * out["mel_out"].shape[0])
+        for b, meta in enumerate(metas):
+            name = meta.get("item_name", f"b{batch_idx}_{b}")
+            n = int((out["mel2word"][b] > 0).sum())
+            mel = out["mel_out"][b][:n]
+            np.save(os.path.join(out_dir, f"{name}.mel.npy"), mel)
+            if self._vocoder is not None:
+                from dicttts_tpu.vocoders.hifigan import save_wav
+
+                save_wav(
+                    os.path.join(out_dir, f"{name}.wav"),
+                    self._vocoder.spec2wav(mel),
+                    self.cfg.get("audio_sample_rate", 22050),
+                )
+            pinyin = ""
+            if self._pinyin_list is not None:
+                n_words = int((np.asarray(batch["word_tokens"])[b] > 0).sum())
+                ids = out["pinyin_pred"][b][1 : max(n_words - 1, 1)]
+                pinyin = " ".join(
+                    self._pinyin_list[int(i)] if int(i) < len(self._pinyin_list) else "?"
+                    for i in ids
+                )
+            rows.append([name, meta.get("txt", ""), pinyin])
+        return {"rows": rows, "out_dir": out_dir}
+
+    def test_end(self, outputs):
+        """Aggregate meta.csv (reference tts_base.py:371-376)."""
+        import csv
+        import os
+
+        if not outputs:
+            return
+        out_dir = outputs[0].get("out_dir", "infer_out")
+        with open(os.path.join(out_dir, "meta.csv"), "w", newline="") as f:
+            w = csv.writer(f)
+            for o in outputs:
+                w.writerows(o.get("rows", []))
+
     def validation_artifacts(self, state, batch, rng):
         """TB audio + figures every validation (reference dict_tts.py
         validation logging: wav, mel compare, dict-attention)."""

@@ -119,6 +119,7 @@ class Trainer:
                 if self.global_step >= self.max_updates:
                     break
                 rng, step_rng = jax.random.split(rng)
+                batch.pop("_meta", None)
                 batch = shard_batch(pad_batch_to_devices(batch, self.mesh.size), self.mesh)
                 state, metrics = train_step(state, batch, step_rng)
                 self.global_step += 1
@@ -156,9 +157,14 @@ class Trainer:
         outputs = []
         for i, batch in enumerate(task.test_batches()):
             rng, step_rng = jax.random.split(rng)
+            meta = batch.pop("_meta", None)  # host-side strings stay on host
             batch_d = shard_batch(pad_batch_to_devices(batch, self.mesh.size), self.mesh)
             out = jax.device_get(infer_step(state, batch_d, step_rng))
+            if meta is not None:
+                batch["_meta"] = meta
             outputs.append(task.after_test_step(i, batch, out) if hasattr(task, "after_test_step") else out)
+        if hasattr(task, "test_end"):
+            task.test_end(outputs)
         return outputs
 
     # -- internals ----------------------------------------------------------
@@ -170,6 +176,7 @@ class Trainer:
             if 0 < (max_batches or 0) <= i:
                 break
             rng, step_rng = jax.random.split(rng)
+            batch.pop("_meta", None)
             batch = shard_batch(pad_batch_to_devices(batch, self.mesh.size), self.mesh)
             metrics = jax.device_get(val_step(state, batch, step_rng))
             for k, v in metrics.items():
@@ -193,6 +200,7 @@ class Trainer:
             return
         try:
             batch = next(iter(task.val_batches()))
+            batch.pop("_meta", None)
             batch = shard_batch(pad_batch_to_devices(batch, self.mesh.size), self.mesh)
             arts = task.validation_artifacts(state, batch, rng)
             for name, (wav, sr) in arts.get("audio", {}).items():
