@@ -42,7 +42,7 @@ def main():
     N_CHAIN = 10
 
     rng = np.random.RandomState(0)
-    model = DictTTS(word_vocab=8000, hidden_size=192)
+    model = DictTTS(word_vocab=8000, hidden_size=192, use_pallas_s2pa=True)
     voc = HifiGanGenerator()
 
     words = jnp.asarray(rng.randint(3, 8000, (B, Tw)).astype(np.int32))

@@ -21,6 +21,9 @@ class AdversarialTTSTask:
 
     def _init_adv(self, cfg):
         self.cfg = cfg
+        # bf16 MXU policy (reference AMP analog): matmuls/convs in bf16 with
+        # f32 accumulation + f32 params; flows/KL stay f32 (models/flows.py)
+        self.matmul_precision = "bfloat16" if cfg.get("amp") else None
         self.lambda_adv = cfg.get("lambda_mel_adv", 0.05)
         self.disc_start_steps = cfg.get("disc_start_steps", 0)
         self.disc_interval = cfg.get("disc_interval", 1)
@@ -94,6 +97,12 @@ class AdversarialTTSTask:
         return loss_r + loss_f, {"r": loss_r, "f": loss_f}
 
     def train_step(self, state, batch, rng):
+        if self.matmul_precision:
+            with jax.default_matmul_precision(self.matmul_precision):
+                return self._train_step_inner(state, batch, rng)
+        return self._train_step_inner(state, batch, rng)
+
+    def _train_step_inner(self, state, batch, rng):
         rng_g, rng_d = jax.random.split(rng)
         (loss_g, (g_losses, out)), grads_g = jax.value_and_grad(
             self._gen_losses, has_aux=True

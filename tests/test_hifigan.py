@@ -116,3 +116,22 @@ def test_upsample_conv_odd_ratio():
         params = up.init(jax.random.PRNGKey(1), x)
         y = up.apply(params, x)
         assert y.shape == (1, 6 * s, 4), (k, s, y.shape)
+
+
+def test_fold_lanes_exact_equivalence():
+    """Generator with lane folding must produce identical wavs to unfolded."""
+    from dicttts_tpu.models.hifigan import HifiGanGenerator
+
+    kw = dict(
+        upsample_rates=(4, 4, 2, 2), upsample_kernel_sizes=(8, 8, 4, 4),
+        upsample_initial_channel=64,  # stages: 32, 16, 8, 4 -> folds engage
+        resblock_kernel_sizes=(3, 7), resblock_dilation_sizes=((1, 3, 5), (1, 3, 5)),
+    )
+    g_fold = HifiGanGenerator(fold_lanes=True, lane_width=32, **kw)
+    g_plain = HifiGanGenerator(fold_lanes=False, **kw)
+    mel = jnp.asarray(np.random.RandomState(0).randn(2, 16, 80).astype(np.float32))
+    params = g_fold.init(jax.random.PRNGKey(0), mel)
+    y1 = g_fold.apply(params, mel)
+    y2 = g_plain.apply(params, mel)  # same param tree
+    assert y1.shape == y2.shape == (2, 16 * 64)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=3e-6)
