@@ -91,7 +91,9 @@ class MultiWindowDiscriminator(nn.Module):
             else:
                 start = start_frames[i]
             start = jnp.clip(start, 0, max(T - win, 0))
-            crop = jax.lax.dynamic_slice_in_dim(mels, start, win, axis=1)
+            # batches shorter than the window: pad (win_valid masks the loss)
+            src = mels if T >= win else jnp.pad(mels, ((0, 0), (0, win - T), (0, 0)))
+            crop = jax.lax.dynamic_slice_in_dim(src, start, win, axis=1)
             v, f = Disc2DBlockStack(
                 win, self.freq_length, self.hidden_size, self.norm_type, name=f"win_{win}"
             )(crop, deterministic)

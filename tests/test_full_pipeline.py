@@ -111,6 +111,7 @@ def test_full_train_and_infer_from_binaries(corpus):
     task = DictTTSTask(cfg, provider)
     state = task.build_state(jax.random.PRNGKey(0))
     batch = next(iter(provider.train_batches()))
+    batch.pop("_meta")  # host-side metadata; the Trainer strips it before jit
     state, metrics = jax.jit(task.train_step)(state, batch, jax.random.PRNGKey(1))
     metrics = jax.device_get(metrics)
     assert np.isfinite(metrics["total_loss"])
