@@ -17,6 +17,28 @@ import logging
 import os
 
 
+def autoconfigure_vocabs(cfg: dict) -> dict:
+    """Derive model vocab sizes from the binarized corpus artifacts
+    (reference builds encoders from binary-dir jsons, tts_base.py:158-166):
+    n_vocab from phone_set.json, word_size from word_set.json,
+    value_embedding_size from pinyin_encoder.pkl."""
+    import json
+    import pickle
+
+    data_dir = cfg.get("binary_data_dir", "")
+    ps = os.path.join(data_dir, "phone_set.json")
+    if os.path.exists(ps):
+        cfg.setdefault("n_vocab", len(json.load(open(ps))) + 3)  # + reserved ids
+    ws = os.path.join(data_dir, "word_set.json")
+    if os.path.exists(ws):
+        cfg["word_size"] = len(json.load(open(ws))) + 3
+    pe = os.path.join(data_dir, "pinyin_encoder.pkl")
+    if os.path.exists(pe):
+        with open(pe, "rb") as f:
+            cfg["value_embedding_size"] = len(pickle.load(f)) + 2
+    return cfg
+
+
 def build_data_provider(cfg: dict, task_cls_name: str, mesh_size: int):
     from dicttts_tpu.data.datasets import TTSBatchProvider, TTSBinaryDataset, VocoderDataset
 
@@ -95,6 +117,7 @@ def main(argv=None):
     task_cls = getattr(importlib.import_module(mod), cls_name)
 
     mesh = make_mesh()
+    autoconfigure_vocabs(cfg)
     data = build_data_provider(cfg, task_path, mesh.size)
     task = task_cls(cfg, data)
     trainer = Trainer(

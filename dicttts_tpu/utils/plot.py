@@ -22,9 +22,15 @@ def _plt():
 def spec_figure(mel: np.ndarray, mel_gt: np.ndarray | None = None, vmin=-6, vmax=1.5, title=""):
     plt = _plt()
     fig = plt.figure(figsize=(12, 6))
+    mel = np.asarray(mel)
     if mel_gt is not None:
-        mel = np.concatenate([np.asarray(mel_gt), np.asarray(mel)], axis=-1)
-    plt.pcolor(np.asarray(mel).T, vmin=vmin, vmax=vmax)
+        mel_gt = np.asarray(mel_gt)
+        # side-by-side in frequency; pad the shorter one in time
+        T = max(mel.shape[0], mel_gt.shape[0])
+        mel = np.pad(mel, ((0, T - mel.shape[0]), (0, 0)), constant_values=vmin)
+        mel_gt = np.pad(mel_gt, ((0, T - mel_gt.shape[0]), (0, 0)), constant_values=vmin)
+        mel = np.concatenate([mel_gt, mel], axis=-1)
+    plt.pcolor(mel.T, vmin=vmin, vmax=vmax)
     plt.colorbar()
     plt.title(title)
     return fig
