@@ -103,10 +103,21 @@ class DictTTSInferencer:
             "pinyin": np.pad(bank["pinyin"], ((0, Tw - len(words)), (0, 0)))[None],
             "pinyin_map": np.pad(bank["pinyin_map"], ((0, Tw - len(words)), (0, 0)))[None],
         }
-        out = jax.device_get(self._jit_test(self.state, batch, jax.random.PRNGKey(seed)))
+        # profile_infer: per-stage cumulative timers (reference utils.Timer
+        # around encoder/fvae/vocoder, tasks/tts/dict_tts.py:198-209).
+        # Timings here include one host sync each — see bench.py's note on
+        # relay round-trip costs when interpreting absolute numbers.
+        profile = self.cfg.get("profile_infer", False)
+        from dicttts_tpu.eval.metrics import Timer
+
+        with Timer("acoustic", enable=profile):
+            out = jax.device_get(self._jit_test(self.state, batch, jax.random.PRNGKey(seed)))
         n_frames = int((out["mel2word"][0] > 0).sum())
         mel = out["mel_out"][0, :n_frames]
-        wav = self.vocoder.spec2wav(mel)
+        with Timer("vocoder", enable=profile):
+            wav = self.vocoder.spec2wav(mel)
+        if profile:
+            print("| profile_infer totals:", {k: round(v, 4) for k, v in Timer.totals.items()})
         pinyin_pred = [
             self.pinyin_list[int(i)] if int(i) < len(self.pinyin_list) else "?"
             for i in out["pinyin_pred"][0, 1 : len(chars) + 1]

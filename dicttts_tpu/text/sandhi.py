@@ -24,6 +24,21 @@ from dicttts_tpu.text.pinyin import ZhDict, strip_tone
 NEUTRAL_PARTICLES = set("的地得着了过呢吧吗啊呀们么哦嘛哪")
 DIGITS = set("零一二三四五六七八九十百千万亿两第")
 
+# common obligatory neutral-tone words (second syllable toneless) — the
+# linguistic data behind the reference's must_neural_tone_words list
+NEUTRAL_TONE_WORDS = {
+    "爸爸", "妈妈", "哥哥", "姐姐", "弟弟", "妹妹", "爷爷", "奶奶", "叔叔",
+    "姑姑", "舅舅", "婶婶", "太太", "先生", "东西", "衣服", "钥匙", "豆腐",
+    "头发", "月亮", "石头", "木头", "枕头", "馒头", "骨头", "拳头", "舌头",
+    "指头", "苍蝇", "蘑菇", "葡萄", "玻璃", "萝卜", "喇叭", "蛤蟆", "知了",
+    "喜欢", "明白", "清楚", "告诉", "打听", "商量", "打扮", "招呼", "收拾",
+    "暖和", "热闹", "客气", "大方", "便宜", "舒服", "糊涂", "漂亮", "干净",
+    "意思", "事情", "时候", "地方", "朋友", "丈夫", "学生", "先生", "姑娘",
+    "规矩", "力气", "脾气", "福气", "运气", "名字", "麻烦", "功夫", "买卖",
+}
+# noun suffixes read neutral when word length >= 2
+NEUTRAL_SUFFIXES = set("子头们")
+
 
 def _tone_of_first_reading(zh_dict: ZhDict, char: str) -> int:
     prons = zh_dict.prons(char)
@@ -80,15 +95,38 @@ class SandhiProcessor:
                 idx = _find_pron_index(self.zh_dict, ch, plain, None)
                 if idx:
                     out[i] = idx
-        # reduplication within segmented words: second char toneless
-        if words:
-            pos = 0
-            for w in words:
-                if len(w) == 2 and w[0] == w[1] and pos + 1 < len(text):
-                    ch = w[1]
-                    plain = strip_tone(self.zh_dict.prons(ch)[0])[0] if ch in self.zh_dict else ""
-                    idx = _find_pron_index(self.zh_dict, ch, plain, None)
-                    if idx:
-                        out[pos + 1] = idx
-                pos += len(w)
+        # word-level rules need the segmentation
+        if words is None:
+            try:
+                import jieba
+
+                words = list(jieba.cut(text))
+            except Exception:
+                words = []
+        pos = 0
+        for w in words:
+            last = pos + len(w) - 1
+            if last >= len(text):
+                break
+            if len(w) == 2 and w[0] == w[1]:
+                # reduplication: second char toneless
+                idx = self._toneless_index(w[1])
+                if idx:
+                    out[pos + 1] = idx
+            elif w in NEUTRAL_TONE_WORDS:
+                idx = self._toneless_index(w[-1])
+                if idx:
+                    out[last] = idx
+            elif len(w) >= 2 and w[-1] in NEUTRAL_SUFFIXES:
+                idx = self._toneless_index(w[-1])
+                if idx:
+                    out[last] = idx
+            pos += len(w)
         return out
+
+    def _toneless_index(self, ch: str) -> int:
+        """1-based index of the character's toneless (neutral) reading."""
+        if ch not in self.zh_dict:
+            return 0
+        plain = strip_tone(self.zh_dict.prons(ch)[0])[0]
+        return _find_pron_index(self.zh_dict, ch, plain, None)
