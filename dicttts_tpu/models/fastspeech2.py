@@ -60,6 +60,40 @@ def _fft_encoder(cfg):
     return FFTEncoder()
 
 
+@register_encoder("conformer")
+def _conformer_encoder(cfg):
+    from dicttts_tpu.models.conformer import ConformerLayers
+
+    class ConformerEncoder(nn.Module):
+        @nn.compact
+        def __call__(self, tokens, deterministic=True):
+            H = cfg.get("hidden_size", 256)
+            emb = nn.Embed(cfg["n_vocab"], H, embedding_init=nn.initializers.normal(H**-0.5))
+            x = emb(tokens) * (H**0.5)
+            nonpadding = (tokens > 0).astype(x.dtype)
+            return ConformerLayers(
+                H, cfg.get("enc_layers", 4), cfg.get("num_heads", 2),
+                dropout=cfg.get("dropout", 0.1),
+            )(x, nonpadding, deterministic)
+
+    return ConformerEncoder()
+
+
+@register_decoder("conformer")
+def _conformer_decoder(cfg):
+    from dicttts_tpu.models.conformer import ConformerLayers
+
+    class ConformerDecoder(nn.Module):
+        @nn.compact
+        def __call__(self, x, nonpadding, deterministic=True):
+            return ConformerLayers(
+                cfg.get("hidden_size", 256), cfg.get("dec_layers", 4),
+                cfg.get("num_heads", 2), dropout=cfg.get("dropout", 0.1),
+            )(x, nonpadding, deterministic)
+
+    return ConformerDecoder()
+
+
 @register_encoder("rel_fft")
 def _rel_fft_encoder(cfg):
     return RelTransformerEncoder(

@@ -98,3 +98,15 @@ def test_portaspeech_train_and_infer():
         rngs={"sample": jax.random.PRNGKey(3)},
     )
     assert out_i["mel_out"].shape == (1, 16, 80)
+
+
+def test_conformer_registry_entry():
+    model = _fs2(enc="conformer", dec="conformer")
+    tokens = jnp.array([[3, 4, 5, 0]])
+    mel2ph = jnp.array([[1, 2, 2, 3, 0, 0]])
+    params = model.init(
+        jax.random.PRNGKey(0), tokens, mel2ph, f0=jnp.zeros((1, 6)), uv=jnp.zeros((1, 6))
+    )
+    out = model.apply(params, tokens, mel2ph, f0=jnp.zeros((1, 6)), uv=jnp.zeros((1, 6)))
+    assert out["mel_out"].shape == (1, 6, 80)
+    assert np.isfinite(np.asarray(out["mel_out"])).all()
