@@ -45,7 +45,16 @@ class TTSBinaryDataset:
         self.prefix = prefix
         self.cfg = cfg
         self.kind = kind
-        self.ds = IndexedDataset(os.path.join(data_dir, prefix))
+        base = os.path.join(data_dir, prefix)
+        # prefer the native recordio corpus when present (convert once with
+        # data/recordio.convert_indexed_dataset); falls back to the
+        # reference-format pickle IndexedDataset
+        if os.path.exists(base + ".rio"):
+            from dicttts_tpu.data.recordio import RecordReader
+
+            self.ds = RecordReader(base)
+        else:
+            self.ds = IndexedDataset(base)
         sizes_fn = os.path.join(data_dir, f"{prefix}_lengths.npy")
         self.sizes = (
             np.load(sizes_fn).tolist()
@@ -198,9 +207,13 @@ class TTSBatchProvider:
         return batch
 
     def _iter(self):
-        for idx_batch in self._make_batches():
+        batches = self._make_batches()
+        can_prefetch = hasattr(self.ds.ds, "prefetch")
+        for n, idx_batch in enumerate(batches):
             if not idx_batch:
                 continue
+            if can_prefetch and n + 1 < len(batches):
+                self.ds.ds.prefetch(batches[n + 1])  # warm next batch's pages
             yield self.collate([self.ds[i] for i in idx_batch])
 
     def train_batches(self):

@@ -75,3 +75,33 @@ def test_convert_indexed_dataset(tmp_path):
     assert n == 5
     r = RecordReader(dst)
     np.testing.assert_array_equal(r[4]["mel"], items[4]["mel"])
+
+
+def test_tts_dataset_recordio_backend(tmp_path):
+    """TTSBinaryDataset prefers a .rio corpus and yields identical items."""
+    from dicttts_tpu.data.datasets import TTSBinaryDataset
+    from dicttts_tpu.utils.indexed_dataset import IndexedDatasetBuilder
+
+    rng = np.random.RandomState(0)
+    items = []
+    for i in range(4):
+        T = 12 + i
+        items.append({
+            "item_name": f"i{i}",
+            "txt": "x",
+            "phone": rng.randint(3, 9, size=6).astype(np.int64),
+            "mel": rng.randn(T, 80).astype(np.float32),
+        })
+    src = str(tmp_path / "train")
+    with IndexedDatasetBuilder(src) as b:
+        for it in items:
+            b.add_item(it)
+    np.save(str(tmp_path / "train_lengths.npy"), np.asarray([len(i["mel"]) for i in items]))
+    cfg = {"max_frames": 64, "use_pitch_embed": False}
+    ds_pickle = TTSBinaryDataset(str(tmp_path), "train", cfg, kind="base")
+    convert_indexed_dataset(src, src)
+    ds_rio = TTSBinaryDataset(str(tmp_path), "train", cfg, kind="base")
+    assert ds_rio.ds.__class__.__name__ == "RecordReader"
+    for i in range(4):
+        np.testing.assert_array_equal(ds_rio[i]["mels"], ds_pickle[i]["mels"])
+        np.testing.assert_array_equal(ds_rio[i]["txt_tokens"], ds_pickle[i]["txt_tokens"])
