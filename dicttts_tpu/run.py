@@ -133,6 +133,7 @@ def main(argv=None):
         seed=cfg.get("seed", 1234),
         mesh=mesh,
         save_best=cfg.get("save_best", True),
+        steps_per_dispatch=cfg.get("steps_per_dispatch", 1),
     )
     if args.infer:
         outputs = trainer.test(task)

@@ -103,3 +103,22 @@ def test_val_and_test_steps(task_and_data):
         for t in range(out["pinyin_pred"].shape[1]):
             if batch["word_tokens"][b, t] > 0:
                 assert out["pinyin_pred"][b, t] in batch["pinyin"][b, t]
+
+
+def test_train_loop_multi_step_dispatch(task_and_data, tmp_path):
+    """steps_per_dispatch > 1: scan-chained steps reach the same step count
+    and produce a resumable checkpoint."""
+    task, _ = task_and_data
+    trainer = Trainer(
+        work_dir=str(tmp_path / "exp_k"),
+        max_updates=8,
+        val_check_interval=4,
+        num_sanity_val_steps=0,
+        tb_log_interval=2,
+        mesh=make_mesh(8),
+        seed=0,
+        steps_per_dispatch=2,
+    )
+    state = trainer.fit(task)
+    assert int(jax.device_get(state["step"])) == 8
+    assert get_last_checkpoint(str(tmp_path / "exp_k")).endswith("8.ckpt")
