@@ -167,16 +167,14 @@ class Trainer:
                     continue
                 if not same_shape:  # run the matching prefix, re-queue the odd one
                     odd = group.pop()
-                    state, metrics, rng = _run_group(state, group, rng)
-                    self.global_step += len(group)
-                    steps_done += len(group)
-                    group = [odd]
-                    continue
+                    requeue = [odd]
+                else:
+                    requeue = []
                 n_ran = len(group)
                 state, metrics, rng = _run_group(state, group, rng)
                 self.global_step += n_ran
                 steps_done += n_ran
-                group = []
+                group = requeue
                 # log once per interval (group steps may jump past the mark)
                 if self.global_step % self.tb_log_interval < n_ran:
                     metrics = jax.device_get(metrics)
@@ -189,7 +187,8 @@ class Trainer:
                         " ".join(f"{name}={float(v):.4f}" for name, v in metrics.items()),
                         sps,
                     )
-                if self.global_step % self.val_check_interval == 0:
+                # validate once per interval (also when a group jumps past it)
+                if self.global_step % self.val_check_interval < n_ran:
                     val_metrics = self._evaluate(task, state, val_step, rng)
                     self._save(state, val_metrics)
                     self._log_artifacts(task, state, rng)
