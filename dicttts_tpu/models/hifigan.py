@@ -217,11 +217,25 @@ class HifiGanGenerator(nn.Module):
                 y = block(ch, rk, tuple(rd), fold=fold, name=f"res_{i}_{j}")(x) if self.resblock == "1" else block(ch, rk, tuple(rd), name=f"res_{i}_{j}")(x)
                 acc = y if acc is None else acc + y
             x = acc / len(self.resblock_kernel_sizes)
-            if fold > 1:
+            last_stage = i == len(self.upsample_rates) - 1
+            if fold > 1 and not last_stage:
                 B, Tf, _ = x.shape
                 x = x.reshape(B, Tf * fold, ch)
+            elif last_stage:
+                final_fold = fold
         x = nn.leaky_relu(x)  # default slope 0.01 like torch F.leaky_relu
-        x = nn.Conv(self.c_out, (7,), padding="SAME", name="conv_post")(x)
+        init = nn.initializers.lecun_normal(in_axis=(0, 1), out_axis=2)
+        w_post = self.param("conv_post_kernel", init, (7, ch, self.c_out))
+        b_post = self.param("conv_post_bias", nn.initializers.zeros, (self.c_out,))
+        if final_fold > 1:
+            # stay folded through the output conv (full lanes), unfold once
+            x = folded_conv(x, w_post, b_post, 1, final_fold)
+            B, Tf, _ = x.shape
+            x = x.reshape(B, Tf * final_fold, self.c_out)
+        else:
+            x = jax.lax.conv_general_dilated(
+                x, w_post, (1,), "SAME", dimension_numbers=("NWC", "WIO", "NWC")
+            ) + b_post
         return jnp.tanh(x)[..., 0]
 
 

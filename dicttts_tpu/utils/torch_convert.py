@@ -83,10 +83,8 @@ def convert_hifigan_generator(torch_state: dict, upsample_rates=(8, 8, 2, 2),
                 blk[f"conv2_{d}_kernel"] = conv1d_to_flax(_maybe_fold(state, f"resblocks.{r}.convs2.{d}"))
                 blk[f"conv2_{d}_bias"] = state[f"resblocks.{r}.convs2.{d}.bias"]
             params[f"res_{i}_{j}"] = blk
-    params["conv_post"] = {
-        "kernel": conv1d_to_flax(_maybe_fold(state, "conv_post")),
-        "bias": state["conv_post.bias"],
-    }
+    params["conv_post_kernel"] = conv1d_to_flax(_maybe_fold(state, "conv_post"))
+    params["conv_post_bias"] = state["conv_post.bias"]
     return params
 
 
