@@ -1,0 +1,72 @@
+"""Trainer multi-step grouping edge cases, driven with a stub task: mixed
+batch shapes must not skip periodic validation/checkpointing (regression
+for the bug found driving the CLI on an alternating-shape corpus)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dicttts_tpu.parallel.mesh import make_mesh
+from dicttts_tpu.train.trainer import Trainer
+from dicttts_tpu.utils.checkpoint import get_all_ckpts
+
+
+class StubTask:
+    """Minimal task: params = scalar, loss = mean(batch.x); batches
+    alternate between two shapes each 'epoch'."""
+
+    def __init__(self, shapes=((4, 8), (4, 16))):
+        self.shapes = shapes
+        self.val_calls = 0
+
+    def build_state(self, rng):
+        return {"w": jnp.zeros(()), "step": jnp.zeros((), jnp.int32)}
+
+    def train_step(self, state, batch, rng):
+        loss = jnp.mean(batch["x"]) + state["w"] * 0
+        return {"w": state["w"] + 1.0, "step": state["step"] + 1}, {"total_loss": loss}
+
+    def val_step(self, state, batch, rng):
+        return {"total_loss": jnp.mean(batch["x"])}
+
+    def train_batches(self):
+        for i, shape in enumerate(self.shapes):
+            yield {"x": np.full(shape, float(i), np.float32)}
+
+    def val_batches(self):
+        yield {"x": np.ones((4, 8), np.float32)}
+
+
+def test_mixed_shapes_still_validate_and_checkpoint(tmp_path):
+    task = StubTask()
+    trainer = Trainer(
+        work_dir=str(tmp_path / "exp"),
+        max_updates=8,
+        val_check_interval=4,
+        num_sanity_val_steps=0,
+        tb_log_interval=2,
+        mesh=make_mesh(1),
+        steps_per_dispatch=4,
+    )
+    state = trainer.fit(task)
+    assert int(jax.device_get(state["step"])) == 8
+    steps = sorted(int(p.split("_")[-1].split(".")[0]) for p in get_all_ckpts(str(tmp_path / "exp")))
+    # BOTH interval checkpoints exist despite every flush being odd-shaped
+    assert 4 in steps and 8 in steps, steps
+
+
+def test_group_crossing_interval_still_validates(tmp_path):
+    # same-shape batches, groups of 3 jump over the interval mark 4
+    task = StubTask(shapes=((4, 8), (4, 8), (4, 8)))
+    trainer = Trainer(
+        work_dir=str(tmp_path / "exp2"),
+        max_updates=9,
+        val_check_interval=4,
+        num_sanity_val_steps=0,
+        mesh=make_mesh(1),
+        steps_per_dispatch=3,
+    )
+    trainer.fit(task)
+    steps = sorted(int(p.split("_")[-1].split(".")[0]) for p in get_all_ckpts(str(tmp_path / "exp2")))
+    # the step-6 group crossed the 4-mark; a checkpoint must still exist <= 6
+    assert any(s <= 6 for s in steps) and 9 in steps, steps
