@@ -88,6 +88,31 @@ def convert_hifigan_generator(torch_state: dict, upsample_rates=(8, 8, 2, 2),
     return params
 
 
+def convert_wn(torch_state: dict, prefix: str, n_layers: int) -> dict:
+    """Torch WaveNet-stack params -> our models/wavenet.WN param tree.
+
+    Expected torch names under `prefix`: in_layers.{i} (dilated Conv1d,
+    possibly weight-normed), res_skip_layers.{i} (1x1), cond_layer (1x1) —
+    the standard gated-WaveNet layout the reference's FVAE/flows use."""
+    out: dict = {}
+    cond = _maybe_fold(torch_state, f"{prefix}cond_layer")
+    if cond is not None:
+        out["cond"] = {
+            "kernel": conv1d_to_flax(cond),
+            "bias": np.asarray(torch_state[f"{prefix}cond_layer.bias"]),
+        }
+    for i in range(n_layers):
+        out[f"in_{i}"] = {
+            "kernel": conv1d_to_flax(_maybe_fold(torch_state, f"{prefix}in_layers.{i}")),
+            "bias": np.asarray(torch_state[f"{prefix}in_layers.{i}.bias"]),
+        }
+        out[f"res_skip_{i}"] = {
+            "kernel": conv1d_to_flax(_maybe_fold(torch_state, f"{prefix}res_skip_layers.{i}")),
+            "bias": np.asarray(torch_state[f"{prefix}res_skip_layers.{i}.bias"]),
+        }
+    return out
+
+
 def load_torch_checkpoint(path: str) -> dict:
     """Load a torch .ckpt/.pt file into numpy dicts (CPU, no grad)."""
     import torch

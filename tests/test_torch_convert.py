@@ -138,3 +138,51 @@ def test_full_generator_parity():
     y_f = np.asarray(gen.apply({"params": params}, jnp.asarray(mel)))
     assert y_f.shape == y_t.shape
     np.testing.assert_allclose(y_f, y_t, atol=2e-4)
+
+
+def test_wn_conversion_parity():
+    """Our WN forward on converted params must match a torch gated-WaveNet
+    stack built from library convs (standard fused tanh-sigmoid gating)."""
+    from dicttts_tpu.models.wavenet import WN
+    from dicttts_tpu.utils.torch_convert import convert_wn
+
+    torch.manual_seed(0)
+    H, k, n_layers, gin, T = 8, 3, 3, 6, 12
+    in_layers = [torch.nn.Conv1d(H, 2 * H, k, padding=(k - 1) // 2 * d, dilation=d)
+                 for d in [1, 1, 1]]
+    res_skip = [torch.nn.Conv1d(H, 2 * H if i < n_layers - 1 else H, 1) for i in range(n_layers)]
+    cond = torch.nn.Conv1d(gin, 2 * H * n_layers, 1)
+
+    def torch_wn(x, g):  # x [B, H, T], g [B, gin, T]
+        out = torch.zeros_like(x)
+        gc = cond(g)
+        for i in range(n_layers):
+            a = in_layers[i](x) + gc[:, i * 2 * H:(i + 1) * 2 * H]
+            acts = torch.tanh(a[:, :H]) * torch.sigmoid(a[:, H:])
+            rs = res_skip[i](acts)
+            if i < n_layers - 1:
+                x = x + rs[:, :H]
+                out = out + rs[:, H:]
+            else:
+                out = out + rs
+        return out
+
+    state = {}
+    for i in range(n_layers):
+        state[f"in_layers.{i}.weight"] = in_layers[i].weight.detach().numpy()
+        state[f"in_layers.{i}.bias"] = in_layers[i].bias.detach().numpy()
+        state[f"res_skip_layers.{i}.weight"] = res_skip[i].weight.detach().numpy()
+        state[f"res_skip_layers.{i}.bias"] = res_skip[i].bias.detach().numpy()
+    state["cond_layer.weight"] = cond.weight.detach().numpy()
+    state["cond_layer.bias"] = cond.bias.detach().numpy()
+    params = convert_wn(state, "", n_layers)
+
+    x = np.random.RandomState(0).randn(2, H, T).astype(np.float32)
+    g = np.random.RandomState(1).randn(2, gin, T).astype(np.float32)
+    y_t = torch_wn(torch.tensor(x), torch.tensor(g)).detach().numpy()
+    wn = WN(hidden_channels=H, kernel_size=k, n_layers=n_layers, gin_channels=gin)
+    y_f = np.asarray(
+        wn.apply({"params": params}, jnp.asarray(x.transpose(0, 2, 1)),
+                 jnp.ones((2, T, 1)), jnp.asarray(g.transpose(0, 2, 1)))
+    )
+    np.testing.assert_allclose(y_f, y_t.transpose(0, 2, 1), atol=1e-5)
