@@ -53,6 +53,26 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
     return jax.tree.map(put, batch)
 
 
+def shard_stacked_batches(stacked: dict, mesh: Mesh, axis: str = "data") -> dict:
+    """Place a [K, B, ...] stack of K same-shape batches on the mesh with the
+    PER-STEP batch axis (axis 1) sharded and the scan axis replicated —
+    P(None, 'data'). Without this the scanned multi-step dispatch would see a
+    host numpy array and default to fully-replicated placement, silently
+    losing data parallelism on the hot path."""
+    sharding = NamedSharding(mesh, P(None, axis))
+
+    def put(x):
+        x = np.asarray(x)
+        if x.ndim <= 1:  # [K] scalars-per-step: replicate
+            return jax.device_put(x, replicated(mesh))
+        assert x.shape[1] % mesh.size == 0, (
+            f"batch dim {x.shape[1]} not divisible by mesh size {mesh.size}"
+        )
+        return jax.device_put(x, sharding)
+
+    return jax.tree.map(put, stacked)
+
+
 def pad_batch_to_devices(batch: dict, n_devices: int) -> dict:
     """Right-pad every array's batch axis to a devices-multiple with zeros.
 

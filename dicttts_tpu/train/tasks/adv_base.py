@@ -16,6 +16,12 @@ from dicttts_tpu.models.discriminator import MultiWindowDiscriminator
 from dicttts_tpu.utils.schedulers import rsqrt_schedule, step_decay_schedule
 
 
+def _select_tree(cond, new_tree, old_tree):
+    """Per-leaf `where(cond, new, old)` — used to freeze an optimizer state
+    (adam moments, schedule counts) when its step is gated off."""
+    return jax.tree.map(lambda n, o: jnp.where(cond, n, o), new_tree, old_tree)
+
+
 class AdversarialTTSTask:
     """Mixin/base: generator + multi-window mel discriminator training."""
 
@@ -45,10 +51,6 @@ class AdversarialTTSTask:
                 weight_decay=cfg.get("weight_decay", 0.0),
             ),
         )
-        # gradient accumulation (reference accumulate_grad_batches semantics)
-        accum = cfg.get("accumulate_grad_batches", 1)
-        if accum > 1:
-            self.tx_g = optax.MultiSteps(self.tx_g, every_k_schedule=accum)
         sched = cfg.get("discriminator_scheduler_params", {"step_size": 40000, "gamma": 0.5})
         opt_p = cfg.get("discriminator_optimizer_params", {"eps": 1e-6, "weight_decay": 0.0})
         self.tx_d = optax.chain(
@@ -61,6 +63,12 @@ class AdversarialTTSTask:
                 weight_decay=opt_p.get("weight_decay", 0.0),
             ),
         )
+        # gradient accumulation wraps BOTH optimizers (the reference trainer
+        # accumulates every optimizer, utils/trainer.py:303,330)
+        accum = cfg.get("accumulate_grad_batches", 1)
+        if accum > 1:
+            self.tx_g = optax.MultiSteps(self.tx_g, every_k_schedule=accum)
+            self.tx_d = optax.MultiSteps(self.tx_d, every_k_schedule=accum)
 
     def _init_disc_params(self, rng):
         return self.disc.init(
@@ -68,8 +76,13 @@ class AdversarialTTSTask:
             jnp.array([128]), rng=jax.random.PRNGKey(0),
         )["params"]
 
-    # subclass contract: _gen_losses(params_g, params_d, batch, rng, train)
-    #   -> (total_loss, (losses_dict, model_out_dict with 'mel_out'))
+    # subclass contract:
+    #   _gen_losses(params_g, params_d, batch, rng, train, adv_w=1.0)
+    #     -> (total_loss, (losses_dict, model_out_dict with 'mel_out'))
+    # adv_w is a traced 0/1 multiplier for the adversarial term: the reference
+    # only adds 'a' once global_step > disc_start_steps
+    # (tasks/tts/ps_adv.py:61-66), i.e. the generator never trains against a
+    # discriminator that has not started training.
 
     def _adv_gen_loss(self, params_d, mel_pred, mel_lengths, rng):
         """LSGAN-to-1 term added to the generator objective."""
@@ -104,29 +117,36 @@ class AdversarialTTSTask:
 
     def _train_step_inner(self, state, batch, rng):
         rng_g, rng_d = jax.random.split(rng)
+        step = state["step"]
+        adv_on = jnp.logical_and(step >= self.disc_start_steps, self.lambda_adv > 0)
         (loss_g, (g_losses, out)), grads_g = jax.value_and_grad(
             self._gen_losses, has_aux=True
-        )(state["params_g"], state["params_d"], batch, rng_g, True)
+        )(state["params_g"], state["params_d"], batch, rng_g, True, adv_on.astype(jnp.float32))
         # NaN guard: skip the update on a non-finite loss (reference
-        # print_nan_grads / NaN-skip, utils/trainer.py:320-327)
-        finite = jnp.isfinite(loss_g).astype(jnp.float32)
-        grads_g = jax.tree.map(lambda g: g * finite, grads_g)
+        # print_nan_grads / NaN-skip, utils/trainer.py:320-327); the optimizer
+        # state is left untouched so adam moments/schedule don't tick on a
+        # skipped batch.
+        finite = jnp.isfinite(loss_g)
+        grads_g = jax.tree.map(lambda g: g * finite.astype(g.dtype), grads_g)
         updates, opt_g = self.tx_g.update(grads_g, state["opt_g"], state["params_g"])
-        updates = jax.tree.map(lambda u: u * finite, updates)
+        updates = jax.tree.map(lambda u: u * finite.astype(u.dtype), updates)
         params_g = optax.apply_updates(state["params_g"], updates)
+        opt_g = _select_tree(finite, opt_g, state["opt_g"])
 
         mel_fake = jax.lax.stop_gradient(out["mel_out"])
         (loss_d, d_losses), grads_d = jax.value_and_grad(self._disc_losses, has_aux=True)(
             state["params_d"], mel_fake, batch["mels"], batch["mel_lengths"], rng_d
         )
-        step = state["step"]
-        disc_on = jnp.logical_and(
-            jnp.logical_and(step >= self.disc_start_steps, self.lambda_adv > 0),
-            (step % self.disc_interval) == 0,
-        ).astype(jnp.float32)
-        grads_d = jax.tree.map(lambda g: g * disc_on, grads_d)
+        disc_on = jnp.logical_and(adv_on, (step % self.disc_interval) == 0)
+        grads_d = jax.tree.map(lambda g: g * disc_on.astype(g.dtype), grads_d)
         updates_d, opt_d = self.tx_d.update(grads_d, state["opt_d"], state["params_d"])
+        updates_d = jax.tree.map(lambda u: u * disc_on.astype(u.dtype), updates_d)
         params_d = optax.apply_updates(state["params_d"], updates_d)
+        # while the disc is gated off the reference returns loss=None for
+        # opt_idx 1, so optimizer.step/scheduler never run
+        # (utils/trainer.py:281-286, tasks/tts/ps_adv.py:61-66): keep the
+        # whole disc optimizer state (adam moments + schedule count) frozen.
+        opt_d = _select_tree(disc_on, opt_d, state["opt_d"])
         new_state = {
             "params_g": params_g, "params_d": params_d,
             "opt_g": opt_g, "opt_d": opt_d, "step": step + 1,
@@ -138,6 +158,7 @@ class AdversarialTTSTask:
         _, (losses, _) = self._gen_losses(
             state["params_g"], state["params_d"], batch, rng, train=False
         )
+        losses = dict(losses)
         losses["total_loss"] = sum(losses.values())
         return losses
 

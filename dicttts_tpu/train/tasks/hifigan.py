@@ -129,10 +129,15 @@ class HifiGanTask:
         loss_d, grads_d = jax.value_and_grad(self._disc_losses)(
             state["params_d"], wav_fake, batch["wavs"]
         )
-        disc_on = (step >= self.disc_start_steps).astype(jnp.float32)
-        grads_d = jax.tree.map(lambda g: g * disc_on, grads_d)
+        disc_on = step >= self.disc_start_steps
+        grads_d = jax.tree.map(lambda g: g * disc_on.astype(g.dtype), grads_d)
         updates_d, opt_d = self.tx_d.update(grads_d, state["opt_d"], state["params_d"])
+        updates_d = jax.tree.map(lambda u: u * disc_on.astype(u.dtype), updates_d)
         params_d = optax.apply_updates(state["params_d"], updates_d)
+        # freeze the disc optimizer (moments + StepLR count) until it actually
+        # trains — the reference skips optimizer.step entirely while the task
+        # returns None for the disc (utils/trainer.py:281-286)
+        opt_d = jax.tree.map(lambda n, o: jnp.where(disc_on, n, o), opt_d, state["opt_d"])
         new_state = {
             "params_g": params_g, "params_d": params_d,
             "opt_g": opt_g, "opt_d": opt_d, "step": step + 1,

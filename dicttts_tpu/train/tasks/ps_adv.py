@@ -83,7 +83,7 @@ class PortaSpeechAdvTask(AdversarialTTSTask):
             rngs=rngs,
         )
 
-    def _gen_losses(self, params_g, params_d, batch, rng, train: bool):
+    def _gen_losses(self, params_g, params_d, batch, rng, train: bool, adv_w=1.0):
         out = self._run_model(params_g, batch, rng, train)
         losses = {"kl": L.clamp_kl(out["kl"] * self.lambda_kl, self.kl_min)}
         L.add_mel_losses(self.mel_loss_spec, out["mel_out"], batch["mels"], losses)
@@ -94,6 +94,7 @@ class PortaSpeechAdvTask(AdversarialTTSTask):
             losses["a"] = (
                 self._adv_gen_loss(params_d, out["mel_out"], batch["mel_lengths"], rng)
                 * self.lambda_adv
+                * adv_w
             )
         return sum(losses.values()), (losses, out)
 

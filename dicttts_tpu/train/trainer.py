@@ -28,9 +28,16 @@ from typing import Any, Iterator, Optional
 import jax
 import numpy as np
 
-from dicttts_tpu.parallel.mesh import make_mesh, pad_batch_to_devices, replicate_state, shard_batch
+from dicttts_tpu.parallel.mesh import (
+    make_mesh,
+    pad_batch_to_devices,
+    replicate_state,
+    shard_batch,
+    shard_stacked_batches,
+)
 from dicttts_tpu.utils.checkpoint import (
     get_last_checkpoint,
+    read_extras,
     restore_checkpoint,
     save_checkpoint,
 )
@@ -109,7 +116,10 @@ class Trainer:
         last = get_last_checkpoint(self.work_dir) if self.work_dir else None
         if last:
             self.global_step, state = restore_checkpoint(last, state)
-            log.info("resumed from %s @ step %d", last, self.global_step)
+            best = read_extras(last).get("best_val")
+            if best is not None:
+                self.best_val = float(best)
+            log.info("resumed from %s @ step %d (best_val=%s)", last, self.global_step, best)
         state = replicate_state(state, self.mesh)
 
         train_step = jax.jit(task.train_step, donate_argnums=(0,))
@@ -141,6 +151,7 @@ class Trainer:
                     key: np.stack([pad_batch_to_devices(b, self.mesh.size)[key] for b in group])
                     for key in group[0]
                 }
+                stacked = shard_stacked_batches(stacked, self.mesh)
                 rngs = jax.random.split(sub, len(group))
                 state, metrics = multi_step(state, stacked, rngs)
                 metrics = jax.tree.map(lambda x: x[-1], metrics)

@@ -81,6 +81,15 @@ def restore_checkpoint(path: str, target_state: Any) -> tuple[int, Any]:
     return int(payload["global_step"]), payload["state"]
 
 
+def read_extras(path: str) -> dict:
+    """Read the scalar extras (e.g. ``best_val``) stored alongside the state
+    without deserializing the state tree (reference restores
+    checkpoint_callback_best on resume, utils/trainer.py:372-377)."""
+    with open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    return {k: v for k, v in raw.items() if k not in ("global_step", "state")}
+
+
 def load_partial(path: str, target_params: Any, subtree: str | None = "params_g") -> tuple[Any, list[str]]:
     """Shape-tolerant parameter load: leaves whose shapes mismatch (or are
     missing) keep the target's values; returns (params, skipped_keys).

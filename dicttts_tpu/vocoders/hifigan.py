@@ -70,7 +70,10 @@ class HifiGanVocoder(BaseVocoder):
             mel = mel[None]
         T = mel.shape[1]
         Tb = shape_bucket(T, multiple=64)
-        mel_p = np.pad(mel, ((0, 0), (0, Tb - T), (0, 0)))
+        # pad with the log10-mel silence floor (log10(eps=1e-6), ops/mel.py):
+        # a 0.0 pad would be mel=1 energy and bleed into the truncated tail
+        # through the generator's receptive field
+        mel_p = np.pad(mel, ((0, 0), (0, Tb - T), (0, 0)), constant_values=-6.0)
         wav = np.asarray(self._apply(self.params, jnp.asarray(mel_p)))[:, : T * self.hop]
         return wav[0] if squeeze else wav
 

@@ -80,3 +80,27 @@ def test_deep_merge_no_shared_state():
     dst = {"x": {"y": 1}}
     deep_merge(dst, {"x": {"z": 2}, "w": 3})
     assert dst == {"x": {"y": 1, "z": 2}, "w": 3}
+
+
+def test_shipped_configs_cls_paths_resolve():
+    """Every *_cls dotted path in every shipped yaml must import (guards
+    against configs pointing at modules that don't exist)."""
+    import glob
+    import importlib
+
+    import dicttts_tpu
+
+    cfg_root = os.path.join(os.path.dirname(dicttts_tpu.__file__), "configs")
+    yamls = glob.glob(os.path.join(cfg_root, "**", "*.yaml"), recursive=True)
+    assert yamls, "no shipped configs found"
+    checked = 0
+    for path in yamls:
+        data = yaml.safe_load(open(path)) or {}
+        for key, val in data.items():
+            if not (key.endswith("_cls") and isinstance(val, str) and "." in val):
+                continue
+            module_name, cls_name = val.rsplit(".", 1)
+            mod = importlib.import_module(module_name)
+            assert hasattr(mod, cls_name), f"{path}: {key}={val} has no attr {cls_name}"
+            checked += 1
+    assert checked >= 7  # task_cls x5 + pre_align_cls + binarizer_cls
