@@ -39,6 +39,7 @@ class DictTTS(nn.Module):
     # duration predictor
     dur_predictor_layers: int = 3
     dur_predictor_kernel: int = 5
+    dur_predictor_chans: int = 128  # reference hardcodes n_chans=128 (model.py:164-166)
     predictor_dropout: float = 0.2
     predictor_grad: float = 0.1
     frames_multiple: int = 4
@@ -69,10 +70,11 @@ class DictTTS(nn.Module):
             self.use_pallas_s2pa,
         )
         self.dur_predictor = DurationPredictor(
-            n_chans=self.hidden_size,
+            n_chans=self.dur_predictor_chans,
             n_layers=self.dur_predictor_layers,
             kernel_size=self.dur_predictor_kernel,
             dropout_rate=self.predictor_dropout,
+            softplus_out=True,  # PortaSpeech-family head (model.py:56)
         )
         self.fvae = FVAE(
             in_out_channels=self.out_dims,
@@ -102,6 +104,7 @@ class DictTTS(nn.Module):
         infer: bool = False,
         max_frames: Optional[int] = None,
         deterministic: bool = True,
+        noise_scale: float = 1.0,
     ) -> dict:
         ret: dict = {}
         nonpadding = (word_tokens > 0).astype(jnp.float32)  # [B, T_w]
@@ -134,11 +137,15 @@ class DictTTS(nn.Module):
         ret["decoder_inp"] = g
 
         if infer:
-            mel_out, z_p = self.fvae(g=g, infer=True, deterministic=deterministic)
+            mel_out, z_p = self.fvae(
+                x_mask=tgt_nonpadding, g=g, infer=True,
+                deterministic=deterministic, noise_scale=noise_scale,
+            )
             ret["z_p"] = z_p
         else:
             mel_out, ret["kl"], ret["z_p"], ret["m_q"], ret["logs_q"] = self.fvae(
-                x=tgt_mels, x_mask=tgt_nonpadding, g=g, infer=False, deterministic=deterministic
+                x=tgt_mels, x_mask=tgt_nonpadding, g=g, infer=False,
+                deterministic=deterministic, noise_scale=noise_scale,
             )
         ret["mel_out"] = ret["mel_out_fvae"] = mel_out * tgt_nonpadding
         return ret

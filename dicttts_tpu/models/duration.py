@@ -10,17 +10,24 @@ offset) during training; `out2dur` converts to linear-domain integer frames.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from dicttts_tpu.models.layers import LayerNorm
 
 
 class DurationPredictor(nn.Module):
+    """softplus_out selects the PortaSpeech-family head (Linear + Softplus,
+    reference modules/portaspeech/model.py:56,66 — used with n_chans=128 by
+    PortaSpeech/PortaSpeech_dict); False is the FastSpeech2 head
+    (tts_modules.py:128, plain linear)."""
+
     n_chans: int = 384
     n_layers: int = 2
     kernel_size: int = 3
     dropout_rate: float = 0.1
     offset: float = 1.0
+    softplus_out: bool = False
 
     @nn.compact
     def __call__(self, x, nonpadding, deterministic: bool = True):
@@ -32,6 +39,8 @@ class DurationPredictor(nn.Module):
             x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
             x = x * nonpadding[:, :, None]
         x = nn.Dense(1, name="out")(x)[..., 0]
+        if self.softplus_out:
+            x = jax.nn.softplus(x)
         return x * nonpadding
 
     @staticmethod

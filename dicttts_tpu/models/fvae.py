@@ -83,7 +83,7 @@ class FVAEEncoder(nn.Module):
     strides: Sequence[int] = (4,)
 
     @nn.compact
-    def __call__(self, x, x_mask, g, deterministic: bool = True):
+    def __call__(self, x, x_mask, g, deterministic: bool = True, noise_scale: float = 1.0):
         # x: [B, T, C_mel]; x_mask: [B, T, 1]; g: [B, T_sqz, C_g]
         stride = 1
         for s in self.strides:
@@ -98,7 +98,7 @@ class FVAEEncoder(nn.Module):
         m = stats[..., : self.latent_channels].astype(jnp.float32)
         logs = stats[..., self.latent_channels :].astype(jnp.float32)
         eps = jax.random.normal(self.make_rng("sample"), m.shape, dtype=jnp.float32)
-        z = m + eps * jnp.exp(logs)
+        z = m + eps * noise_scale * jnp.exp(logs)
         return z, m, logs, x_mask_sqz
 
 
@@ -178,11 +178,12 @@ class FVAE(nn.Module):
         semantics: Optional[jnp.ndarray] = None,
         infer: bool = False,
         deterministic: bool = True,
+        noise_scale: float = 1.0,
     ):
         g_for_sqz = g if semantics is None else g + semantics
         g_sqz = self.g_pre_net(g_for_sqz)
         if not infer:
-            z_q, m_q, logs_q, x_mask_sqz = self.encoder(x, x_mask, g_sqz, deterministic)
+            z_q, m_q, logs_q, x_mask_sqz = self.encoder(x, x_mask, g_sqz, deterministic, noise_scale)
             x_recon = self.decoder(z_q, x_mask, g, deterministic)
             if self.use_prior_flow:
                 logqx = normal_log_prob(z_q, m_q, logs_q)
@@ -199,13 +200,23 @@ class FVAE(nn.Module):
                 z_p = None
             return x_recon, loss_kl, z_p, m_q, logs_q
         else:
-            z_p = jax.random.normal(
+            z_p = noise_scale * jax.random.normal(
                 self.make_rng("sample"),
                 (g_sqz.shape[0], g_sqz.shape[1], self.latent_size),
                 dtype=jnp.float32,
             )
-            ones_sqz = jnp.ones_like(g_sqz[..., :1])
+            # mask the decode path with the real frame mask when given: under
+            # static max_frames padding, unmasked tail positions carry
+            # bias-driven values that bleed into the last valid frames through
+            # the WN receptive field — masking reproduces the reference's
+            # dynamic-length (batch_size=1) inference exactly.
+            if x_mask is None:
+                x_mask = jnp.ones_like(g[..., :1])
+            stride = 1
+            for s in self.strides:
+                stride *= s
+            x_mask_sqz = x_mask[:, ::stride][:, : g_sqz.shape[1]]
             if self.use_prior_flow:
-                z_p = self.prior_flow(z_p, ones_sqz, g_sqz, reverse=True)
-            x_recon = self.decoder(z_p, jnp.ones_like(g[..., :1]), g, deterministic)
+                z_p = self.prior_flow(z_p, x_mask_sqz, g_sqz, reverse=True)
+            x_recon = self.decoder(z_p, x_mask, g, deterministic)
             return x_recon, z_p

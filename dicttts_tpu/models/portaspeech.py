@@ -85,6 +85,7 @@ class PortaSpeech(nn.Module):
             n_layers=self.dur_predictor_layers,
             kernel_size=self.dur_predictor_kernel,
             dropout_rate=self.predictor_dropout,
+            softplus_out=True,
         )
         self.fvae = FVAE(
             in_out_channels=self.out_dims,
@@ -172,7 +173,9 @@ class PortaSpeech(nn.Module):
         ret["decoder_inp"] = x
 
         if infer:
-            mel_out, ret["z_p"] = self.fvae(g=x, infer=True, deterministic=deterministic)
+            mel_out, ret["z_p"] = self.fvae(
+                x_mask=tgt_nonpadding, g=x, infer=True, deterministic=deterministic
+            )
         else:
             mel_out, ret["kl"], ret["z_p"], ret["m_q"], ret["logs_q"] = self.fvae(
                 x=tgt_mels, x_mask=tgt_nonpadding, g=x, deterministic=deterministic

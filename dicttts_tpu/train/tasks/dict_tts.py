@@ -89,7 +89,7 @@ class DictTTSTask(AdversarialTTSTask):
             "step": jnp.zeros((), jnp.int32),
         }
 
-    def _gen_losses(self, params_g, params_d, batch, rng, train: bool):
+    def _gen_losses(self, params_g, params_d, batch, rng, train: bool, adv_w=1.0):
         rngs = {"sample": jax.random.fold_in(rng, 0), "dropout": jax.random.fold_in(rng, 1)}
         out = self.model.apply(
             {"params": params_g},
@@ -108,9 +108,12 @@ class DictTTSTask(AdversarialTTSTask):
             out["dur"], batch["mel2word"], batch["word_lengths"], self.cfg.get("dur_scale", "log")
         )
         if train and self.lambda_adv > 0:
+            # adv_w gates the term on step >= disc_start_steps (reference
+            # ps_adv.py:61-66 only adds 'a' once the disc has started)
             losses["a"] = (
                 self._adv_gen_loss(params_d, out["mel_out"], batch["mel_lengths"], rng)
                 * self.lambda_adv
+                * adv_w
             )
         total = sum(losses.values())
         return total, (losses, out)
@@ -155,16 +158,26 @@ class DictTTSTask(AdversarialTTSTask):
             pinyin = ""
             if self._pinyin_list is not None:
                 n_words = int((np.asarray(batch["word_tokens"])[b] > 0).sum())
-                ids = out["pinyin_pred"][b][1 : max(n_words - 1, 1)]
-                pinyin = " ".join(
-                    self._pinyin_list[int(i)] if int(i) < len(self._pinyin_list) else "?"
-                    for i in ids
-                )
-            rows.append([name, meta.get("txt", ""), pinyin])
+                # chars 1..n-2 (skip BOS/EOS rows), two tokens per char; pad
+                # id 0 renders as '<UNK>' exactly like the reference vocab
+                # (pinyin_encoder[0] == '<UNK>', stripped by the scorer)
+                toks = []
+                for pair in out["pinyin_pred"][b][1 : max(n_words - 1, 1)]:
+                    for i in pair:
+                        i = int(i)
+                        toks.append("<UNK>" if i == 0 else self._pinyin_list[i]
+                                    if i < len(self._pinyin_list) else "?")
+                pinyin = " ".join(toks)
+            txt = meta.get("txt", "").replace(",", "，").replace(".", "。")
+            rows.append([name, txt, pinyin,
+                         os.path.join(out_dir, f"{name}.wav"), meta.get("wav_fn_gt", "")])
         return {"rows": rows, "out_dir": out_dir}
 
     def test_end(self, outputs):
-        """Aggregate meta.csv (reference tts_base.py:371-376)."""
+        """Aggregate meta.csv in the reference layout (tts_base.py:372,
+        pd.DataFrame(outputs).to_csv with index): header + columns
+        [idx, item_name, text, pinyin_tokens, wav_fn_pred, wav_fn_gt] — the
+        PER scorer reads column 3 (scripts/get_pron_error.py:35)."""
         import csv
         import os
 
@@ -173,8 +186,12 @@ class DictTTSTask(AdversarialTTSTask):
         out_dir = outputs[0].get("out_dir", "infer_out")
         with open(os.path.join(out_dir, "meta.csv"), "w", newline="") as f:
             w = csv.writer(f)
+            w.writerow(["", "item_name", "text", "pinyin_tokens", "wav_fn_pred", "wav_fn_gt"])
+            i = 0
             for o in outputs:
-                w.writerows(o.get("rows", []))
+                for row in o.get("rows", []):
+                    w.writerow([i] + list(row))
+                    i += 1
 
     def validation_artifacts(self, state, batch, rng):
         """TB audio + figures every validation (reference dict_tts.py
@@ -218,8 +235,13 @@ class DictTTSTask(AdversarialTTSTask):
             max_frames=self.infer_max_frames,
             rngs={"sample": rng},
         )
+        # reference decode (tasks/tts/dict_tts.py:300-304): argmax position
+        # over the pinyin axis, then emit the TWO tokens [max_idx:max_idx+2]
+        # — the (initial, final) pair of the winning sense (every sense
+        # contributes exactly 2 pinyin tokens, binarizer invariant)
         pron_idx = jnp.argmax(out["pron_attn"], axis=-1)  # [B, Tw]
-        pinyin_ids = jnp.take_along_axis(batch["pinyin"], pron_idx[:, :, None], axis=2)[..., 0]
+        idx2 = jnp.stack([pron_idx, jnp.minimum(pron_idx + 1, batch["pinyin"].shape[2] - 1)], -1)
+        pinyin_ids = jnp.take_along_axis(batch["pinyin"], idx2, axis=2)  # [B, Tw, 2]
         return {
             "mel_out": out["mel_out"],
             "mel2word": out["mel2word"],

@@ -97,12 +97,14 @@ def test_val_and_test_steps(task_and_data):
     assert np.isfinite(metrics["total_loss"])
     out = jax.device_get(jax.jit(task.test_step)(state, batch, jax.random.PRNGKey(2)))
     assert out["mel_out"].shape[-1] == 80
-    assert out["pinyin_pred"].shape == batch["word_tokens"].shape
+    # reference decode window: TWO tokens (initial+final pair) per word
+    assert out["pinyin_pred"].shape == batch["word_tokens"].shape + (2,)
     # predicted pinyin ids come from each word's own pinyin candidates
     for b in range(out["pinyin_pred"].shape[0]):
         for t in range(out["pinyin_pred"].shape[1]):
             if batch["word_tokens"][b, t] > 0:
-                assert out["pinyin_pred"][b, t] in batch["pinyin"][b, t]
+                for i in out["pinyin_pred"][b, t]:
+                    assert i in batch["pinyin"][b, t]
 
 
 def test_train_loop_multi_step_dispatch(task_and_data, tmp_path):

@@ -117,8 +117,8 @@ def test_full_train_and_infer_from_binaries(corpus):
     assert np.isfinite(metrics["total_loss"])
     out = jax.device_get(jax.jit(task.test_step)(state, batch, jax.random.PRNGKey(2)))
     assert np.isfinite(out["mel_out"]).all()
-    # pinyin predictions decode through the bank's pinyin ids
-    assert out["pinyin_pred"].shape == batch["word_tokens"].shape
+    # pinyin predictions decode through the bank's pinyin ids (2-token window)
+    assert out["pinyin_pred"].shape == batch["word_tokens"].shape + (2,)
 
 
 def test_one_shot_inferencer(corpus, tmp_path):

@@ -1,0 +1,480 @@
+"""Numerical parity of the full acoustic stack vs the reference torch modules.
+
+The single highest-leverage check (VERDICT round 1 #1): instantiate the ACTUAL
+reference modules from /root/reference (torch, CPU), convert their random-init
+state_dicts with utils/torch_convert.py, and assert forward parity module by
+module — rel-transformer encoder, S2PA/DictEncoder, duration predictor, FVAE
+(encoder/decoder/prior flow) — and then whole-model PortaSpeech_dict vs our
+DictTTS mel/KL/duration parity. This turns "parity" from assertion into proof
+and makes the released reference checkpoint loadable.
+
+Stochastic nodes are pinned: torch.randn_like is monkeypatched to zeros and
+our FVAE runs with noise_scale=0.0; dropout is 0 everywhere.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+
+# small-but-real dims (multiple senses, padded rows, T > window+1 and < 2*w)
+H = 64
+HEADS = 2
+FFN_K = 5
+WORD_SIZE = 100
+PINYIN_VOCAB = 20
+E_DICT = 768  # reference S2PAAttention hardcodes key_size=768
+LATENT = 8
+FLOW_HIDDEN = 32
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Reference repo importable with hparams populated (module-scoped)."""
+    for miss in [
+        "chardet", "pytorch_memlab", "librosa", "librosa.filters",
+        "parselmouth", "webrtcvad", "pyloudnorm", "jiwer", "resemblyzer", "pycwt",
+    ]:
+        sys.modules.setdefault(miss, types.ModuleType(miss))
+    sys.path.insert(0, REF)
+    from utils.hparams import hparams as ref_hparams
+
+    from dicttts_tpu.config import load_config
+
+    cwd = os.getcwd()
+    try:
+        os.chdir(REF)  # reference base_config paths are repo-root-relative
+        merged = dict(load_config(config=f"{REF}/egs/datasets/audio/biaobei/dict_tts.yaml", save=False))
+    finally:
+        os.chdir(cwd)
+    ref_hparams.update(merged)
+    ref_hparams.update({
+        "hidden_size": H, "num_heads": HEADS, "enc_ffn_kernel_size": FFN_K,
+        "dropout": 0.0, "predictor_dropout": 0.0,
+        "fvae_enc_dec_hidden": H, "latent_size": LATENT,
+        "prior_glow_hidden": FLOW_HIDDEN, "word_size": WORD_SIZE,
+        "value_embedding_size": PINYIN_VOCAB,
+        "num_spk": 1, "use_spk_id": False, "use_spk_embed": False,
+        "use_post_glow": False, "profile_infer": False,
+    })
+    import torch
+
+    torch.manual_seed(0)
+    yield types.SimpleNamespace(hparams=ref_hparams, torch=torch)
+
+
+def _np(t):
+    return t.detach().cpu().numpy()
+
+
+def _assert_tree_matches(ours, converted, path=""):
+    """Converted param tree must mirror the flax init tree key-for-key."""
+    ok = set(ours)
+    ck = set(converted)
+    assert ok == ck, f"{path}: missing={sorted(ok - ck)} extra={sorted(ck - ok)}"
+    for k in ok:
+        if isinstance(ours[k], dict):
+            _assert_tree_matches(ours[k], converted[k], f"{path}/{k}")
+        else:
+            assert np.shape(ours[k]) == np.shape(converted[k]), (
+                f"{path}/{k}: {np.shape(ours[k])} vs {np.shape(converted[k])}"
+            )
+
+
+# ---------------------------------------------------------------------------
+# rel-window transformer encoder
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("T", [12, 3])  # > window+1 and < window+1 (skew-trick edge)
+def test_rel_transformer_encoder_parity(ref, T):
+    import torch
+
+    import jax.numpy as jnp
+    from dicttts_tpu.models.layers import RelTransformerEncoder
+    from dicttts_tpu.utils.torch_convert import convert_rel_encoder
+
+    from modules.commons.rel_transformer_encoder import RelTransformerEncoder as RefEnc
+
+    torch.manual_seed(1)
+    n_vocab, n_layers, window = 30, 4, 4
+    ref_m = RefEnc(n_vocab, H, H, H * 4, HEADS, n_layers, FFN_K, 0.0,
+                   window_size=window, prenet=True, pre_ln=True).eval()
+
+    tokens = np.array([[3, 5, 7, 9, 2, 4, 0, 0, 0, 0, 0, 0][:T],
+                       [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12][:T]], np.int32)
+    with torch.no_grad():
+        y_ref = _np(ref_m(torch.tensor(tokens, dtype=torch.long)))
+
+    ours = RelTransformerEncoder(
+        n_vocab=n_vocab, hidden_channels=H, filter_channels=H * 4, n_heads=HEADS,
+        n_layers=n_layers, kernel_size=FFN_K, p_dropout=0.0, window_size=window,
+        prenet=True, pre_ln=True,
+    )
+    import jax
+
+    init = ours.init(jax.random.PRNGKey(0), jnp.asarray(tokens))["params"]
+    params = convert_rel_encoder(
+        {k: _np(v) for k, v in ref_m.state_dict().items()}, "", n_layers, window
+    )
+    _assert_tree_matches(init, params)
+    y = np.asarray(ours.apply({"params": params}, jnp.asarray(tokens)))
+    assert np.max(np.abs(y - y_ref)) < 2e-4, np.max(np.abs(y - y_ref))
+
+
+# ---------------------------------------------------------------------------
+# S2PA / DictEncoder
+# ---------------------------------------------------------------------------
+
+
+def _dict_bank(B, Tw, Lk, Lp, rng):
+    keys = rng.standard_normal((B, Tw, Lk, E_DICT)).astype(np.float32)
+    # 2 senses: first ceil(Lk/2) gloss tokens sense 1, rest sense 2; last col pad
+    key_map = np.zeros((B, Tw, Lk), np.int64)
+    key_map[:, :, : Lk // 2] = 1
+    key_map[:, :, Lk // 2 : Lk - 1] = 2
+    pinyin = rng.integers(1, PINYIN_VOCAB, (B, Tw, Lp)).astype(np.int64)
+    pinyin_map = np.zeros((B, Tw, Lp), np.int64)
+    pinyin_map[:, :, : Lp // 2] = 1
+    pinyin_map[:, :, Lp // 2 : Lp - 1] = 2
+    pinyin[pinyin_map == 0] = 0
+    return keys, key_map, pinyin, pinyin_map
+
+
+def test_dict_encoder_parity(ref):
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+    from dicttts_tpu.models.dict_encoder import DictEncoder, DictMsg
+    from dicttts_tpu.utils.torch_convert import convert_s2pa_text_encoder
+
+    from modules.dict_tts.layers.dict_encoder import DictEncoder as RefDictEncoder
+
+    torch.manual_seed(2)
+
+    class Dict_:
+        def __len__(self):
+            return WORD_SIZE
+
+        def pad(self):
+            return 0
+
+    ref_m = RefDictEncoder(Dict_()).eval()
+
+    B, Tw, Lk, Lp = 2, 7, 5, 4
+    rng = np.random.default_rng(0)
+    word_tokens = np.array([[4, 9, 13, 2, 0, 0, 0], [5, 6, 7, 8, 9, 10, 11]], np.int64)
+    keys, key_map, pinyin, pinyin_map = _dict_bank(B, Tw, Lk, Lp, rng)
+    pron_modified = np.zeros((B, Tw), np.int64)
+    pron_modified[0, 1] = 2  # sandhi-forced sense on one char
+    pron_modified[1, 3] = 1
+
+    t = lambda x, dt=torch.float32: torch.tensor(x, dtype=dt)
+    dict_msg_t = (t(keys), t(keys), t(key_map, torch.long), t(pinyin, torch.long), t(pinyin_map, torch.long))
+    with torch.no_grad():
+        x_ref, dict_attn_ref, pron_attn_ref, ctx_ref = ref_m(
+            (t(word_tokens, torch.long), None), t(pron_modified, torch.long), None, dict_msg_t, None
+        )
+
+    ours = DictEncoder(WORD_SIZE, H, HEADS, FFN_K, 0.0, PINYIN_VOCAB)
+    dm = DictMsg(
+        jnp.asarray(keys), jnp.asarray(keys), jnp.asarray(key_map, jnp.int32),
+        jnp.asarray(pinyin, jnp.int32), jnp.asarray(pinyin_map, jnp.int32),
+    )
+    init = ours.init(jax.random.PRNGKey(0), jnp.asarray(word_tokens, jnp.int32), dm,
+                     jnp.asarray(pron_modified, jnp.int32))["params"]
+    params = {
+        "s2pa_module": convert_s2pa_text_encoder(
+            {k: _np(v) for k, v in ref_m.state_dict().items()}, "S2PA_module.", 4
+        )
+    }
+    # the reference keeps a dead `emb` Embedding (forward only uses word_emb)
+    _assert_tree_matches(init, params)
+    x, dict_attn, pron_attn, ctx = ours.apply(
+        {"params": params}, jnp.asarray(word_tokens, jnp.int32), dm,
+        jnp.asarray(pron_modified, jnp.int32),
+    )
+    assert np.max(np.abs(np.asarray(x) - _np(x_ref))) < 2e-4
+    assert np.max(np.abs(np.asarray(ctx) - _np(ctx_ref))) < 2e-4
+    # reference pron_attn [B, Tw, Lp]; ours same
+    assert np.max(np.abs(np.asarray(pron_attn) - _np(pron_attn_ref))) < 1e-5
+    # reference dict_attn (align) is [B, 1, Lk, Tw]; ours [B, Tw, Lk]
+    assert np.max(np.abs(np.asarray(dict_attn) - _np(dict_attn_ref[:, 0].transpose(1, 2)))) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# duration predictor (PortaSpeech variant: n_chans=128, Softplus head)
+# ---------------------------------------------------------------------------
+
+
+def test_duration_predictor_parity(ref):
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+    from dicttts_tpu.models.duration import DurationPredictor
+    from dicttts_tpu.utils.torch_convert import convert_duration_predictor
+
+    from modules.portaspeech.model import DurationPredictor as RefDP
+
+    torch.manual_seed(3)
+    n_layers, kernel = 3, 5
+    ref_m = RefDP(H, n_layers=n_layers, n_chans=128, kernel_size=kernel,
+                  dropout_rate=0.0, padding="SAME").eval()
+
+    B, T = 2, 9
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((B, T, H)).astype(np.float32)
+    nonpadding = np.ones((B, T), np.float32)
+    nonpadding[0, 6:] = 0
+    with torch.no_grad():
+        y_ref = _np(ref_m(torch.tensor(x), torch.tensor(1 - nonpadding, dtype=torch.bool)))
+
+    ours = DurationPredictor(n_chans=128, n_layers=n_layers, kernel_size=kernel,
+                             dropout_rate=0.0, softplus_out=True)
+    init = ours.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(nonpadding))["params"]
+    params = convert_duration_predictor(
+        {k: _np(v) for k, v in ref_m.state_dict().items()}, "", n_layers
+    )
+    _assert_tree_matches(init, params)
+    y = np.asarray(ours.apply({"params": params}, jnp.asarray(x), jnp.asarray(nonpadding)))
+    assert np.max(np.abs(y - y_ref)) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# FVAE (encoder / decoder / prior flow / whole module)
+# ---------------------------------------------------------------------------
+
+
+def _make_fvae_pair(ref):
+    import torch
+
+    from dicttts_tpu.models.fvae import FVAE
+    from dicttts_tpu.utils.torch_convert import convert_fvae
+
+    from modules.dict_tts.fvae_semantics import FVAE_semantics
+
+    torch.manual_seed(4)
+    ref_m = FVAE_semantics(
+        in_out_channels=80, hidden_channels=H, latent_size=LATENT, kernel_size=5,
+        enc_n_layers=8, dec_n_layers=4, gin_channels=H, strides=[4],
+        use_prior_glow=True, glow_hidden=FLOW_HIDDEN, glow_kernel_size=3, glow_n_blocks=4,
+    ).eval()
+    ours = FVAE(
+        in_out_channels=80, hidden_channels=H, latent_size=LATENT, kernel_size=5,
+        enc_n_layers=8, dec_n_layers=4, gin_channels=H, strides=(4,),
+        use_prior_flow=True, flow_hidden=FLOW_HIDDEN, flow_kernel_size=3, flow_n_steps=4,
+    )
+    params = convert_fvae({k: _np(v) for k, v in ref_m.state_dict().items()}, "", 1, 8, 4, 4, 4)
+    return ref_m, ours, params
+
+
+def test_fvae_train_and_infer_parity(ref):
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    ref_m, ours, params = _make_fvae_pair(ref)
+
+    B, T = 2, 16
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((B, T, 80)).astype(np.float32)
+    g = rng.standard_normal((B, T, H)).astype(np.float32)
+    sem = rng.standard_normal((B, T, H)).astype(np.float32)
+    mask = np.ones((B, T, 1), np.float32)
+    mask[0, 12:] = 0
+
+    init = ours.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.asarray(x), jnp.asarray(mask), jnp.asarray(g), jnp.asarray(sem),
+    )["params"]
+
+    _assert_tree_matches(init, params)
+
+    # pin z_q = m_q in both frameworks
+    orig_randn_like = torch.randn_like
+    torch.randn_like = lambda t, **kw: torch.zeros_like(t)
+    try:
+        with torch.no_grad():
+            xr_ref, kl_ref, zp_ref, mq_ref, logs_ref = ref_m(
+                torch.tensor(x).transpose(1, 2), torch.tensor(mask).transpose(1, 2),
+                g=torch.tensor(g).transpose(1, 2), infer=False,
+                semantics=torch.tensor(sem).transpose(1, 2),
+            )
+    finally:
+        torch.randn_like = orig_randn_like
+
+    xr, kl, zp, mq, logs = ours.apply(
+        {"params": params}, jnp.asarray(x), jnp.asarray(mask), jnp.asarray(g),
+        jnp.asarray(sem), noise_scale=0.0, rngs={"sample": jax.random.PRNGKey(7)},
+    )
+    assert np.max(np.abs(np.asarray(mq) - _np(mq_ref.transpose(1, 2)))) < 2e-4
+    assert np.max(np.abs(np.asarray(logs) - _np(logs_ref.transpose(1, 2)))) < 2e-4
+    assert np.max(np.abs(np.asarray(zp) - _np(zp_ref.transpose(1, 2)))) < 2e-4
+    assert np.max(np.abs(np.asarray(xr) - _np(xr_ref.transpose(1, 2)))) < 5e-4
+    assert abs(float(kl) - float(kl_ref)) < 1e-4
+
+    # infer: pin the prior sample to zeros in both
+    class _ZeroDist:
+        def sample(self, shape):
+            return torch.zeros(shape)
+
+    ref_m.prior_dist = _ZeroDist()
+    with torch.no_grad():
+        xr_ref_i, zp_ref_i = ref_m(
+            g=torch.tensor(g).transpose(1, 2), infer=True,
+            semantics=torch.tensor(sem).transpose(1, 2),
+        )
+    xr_i, zp_i = ours.apply(
+        {"params": params}, g=jnp.asarray(g), semantics=jnp.asarray(sem), infer=True,
+        noise_scale=0.0, rngs={"sample": jax.random.PRNGKey(9)},
+    )
+    assert np.max(np.abs(np.asarray(zp_i) - _np(zp_ref_i.transpose(1, 2)))) < 2e-4
+    assert np.max(np.abs(np.asarray(xr_i) - _np(xr_ref_i.transpose(1, 2)))) < 5e-4
+
+
+# ---------------------------------------------------------------------------
+# whole model: PortaSpeech_dict vs DictTTS
+# ---------------------------------------------------------------------------
+
+
+def _durations_to_mel2word(durs):
+    """1-based mel2word from per-word durations (numpy, for test inputs)."""
+    B, Tw = durs.shape
+    T = int(durs.sum(-1).max())
+    out = np.zeros((B, T), np.int64)
+    for b in range(B):
+        pos = 0
+        for w in range(Tw):
+            out[b, pos : pos + durs[b, w]] = w + 1
+            pos += durs[b, w]
+    return out
+
+
+def test_dict_tts_whole_model_parity(ref):
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+    from dicttts_tpu.models.dict_encoder import DictMsg
+    from dicttts_tpu.models.dict_tts import DictTTS
+    from dicttts_tpu.utils.torch_convert import convert_dict_tts
+
+    from modules.dict_tts.model import PortaSpeech_dict
+
+    torch.manual_seed(5)
+
+    class Dict_:
+        def __len__(self):
+            return WORD_SIZE
+
+        def pad(self):
+            return 0
+
+    ref_m = PortaSpeech_dict(Dict_()).eval()
+
+    B, Tw, Lk, Lp = 2, 7, 5, 4
+    rng = np.random.default_rng(3)
+    word_tokens = np.array([[4, 9, 13, 2, 6, 0, 0], [5, 6, 7, 8, 9, 10, 11]], np.int64)
+    keys, key_map, pinyin, pinyin_map = _dict_bank(B, Tw, Lk, Lp, rng)
+    pron_modified = np.zeros((B, Tw), np.int64)
+    pron_modified[0, 2] = 1
+    durs = rng.integers(1, 5, (B, Tw))
+    durs[0, 5:] = 0  # padded words get no frames
+    mel2word = _durations_to_mel2word(durs)
+    Tm = ((mel2word.shape[1] + 3) // 4) * 4  # frames_multiple=4
+    mel2word = np.pad(mel2word, ((0, 0), (0, Tm - mel2word.shape[1])))
+    tgt_mels = rng.standard_normal((B, Tm, 80)).astype(np.float32)
+
+    t = lambda x, dt=torch.float32: torch.tensor(x, dtype=dt)
+    dict_msg_t = (t(keys), t(keys), t(key_map, torch.long), t(pinyin, torch.long), t(pinyin_map, torch.long))
+
+    orig_randn_like = torch.randn_like
+    torch.randn_like = lambda tt, **kw: torch.zeros_like(tt)
+    try:
+        with torch.no_grad():
+            ret_ref = ref_m(
+                (t(word_tokens, torch.long), None), t(pron_modified, torch.long), None,
+                None, Tw, dict_msg_t, mel2word=t(mel2word, torch.long),
+                tgt_mels=t(tgt_mels), infer=False,
+            )
+    finally:
+        torch.randn_like = orig_randn_like
+
+    ours = DictTTS(
+        word_vocab=WORD_SIZE, hidden_size=H, num_heads=HEADS, enc_ffn_kernel_size=FFN_K,
+        dropout=0.0, pinyin_vocab=PINYIN_VOCAB, dur_predictor_layers=3,
+        dur_predictor_kernel=5, dur_predictor_chans=128, predictor_dropout=0.0,
+        predictor_grad=0.1, frames_multiple=4, out_dims=80, latent_size=LATENT,
+        fvae_enc_dec_hidden=H, fvae_kernel_size=5, fvae_enc_n_layers=8,
+        fvae_dec_n_layers=4, use_prior_flow=True, prior_flow_hidden=FLOW_HIDDEN,
+        prior_flow_kernel_size=3, prior_flow_n_blocks=4,
+    )
+    dm = DictMsg(
+        jnp.asarray(keys), jnp.asarray(keys), jnp.asarray(key_map, jnp.int32),
+        jnp.asarray(pinyin, jnp.int32), jnp.asarray(pinyin_map, jnp.int32),
+    )
+    init = ours.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.asarray(word_tokens, jnp.int32), dm, jnp.asarray(pron_modified, jnp.int32),
+        mel2word=jnp.asarray(mel2word, jnp.int32), tgt_mels=jnp.asarray(tgt_mels),
+    )["params"]
+    params = convert_dict_tts({k: _np(v) for k, v in ref_m.state_dict().items()})
+    _assert_tree_matches(init, params)
+
+    out = ours.apply(
+        {"params": params},
+        jnp.asarray(word_tokens, jnp.int32), dm, jnp.asarray(pron_modified, jnp.int32),
+        mel2word=jnp.asarray(mel2word, jnp.int32), tgt_mels=jnp.asarray(tgt_mels),
+        noise_scale=0.0, rngs={"sample": jax.random.PRNGKey(2)},
+    )
+
+    # our model zero-masks padded frames (the reference leaves unmasked
+    # garbage there and masks in the loss) — compare on real frames
+    valid_t = (mel2word > 0)[:, :, None]
+    diff_t = np.abs(np.asarray(out["mel_out"]) - _np(ret_ref["mel_out"])) * valid_t
+    mel_mae = float(diff_t.sum() / (valid_t.sum() * 80))
+    assert mel_mae < 1e-5, f"mel MAE vs reference on real frames: {mel_mae}"
+    assert float(diff_t.max()) < 1e-4
+    assert np.max(np.abs(np.asarray(out["dur"]) - _np(ret_ref["dur"]))) < 1e-4
+    assert abs(float(out["kl"]) - float(ret_ref["kl"])) < 1e-4
+    assert np.max(np.abs(np.asarray(out["pron_attn"]) - _np(ret_ref["pron_attn"]))) < 1e-5
+
+    # inference path. The reference evaluates at batch_size=1 with dynamic
+    # length (tts_base.py:104-110); we run the whole batch at a static
+    # max_frames with a masked decode path — per-item outputs must agree.
+    class _ZeroDist:
+        def sample(self, shape):
+            return torch.zeros(shape)
+
+    ref_m.fvae.prior_dist = _ZeroDist()
+    max_frames = 64
+    out_i = ours.apply(
+        {"params": params},
+        jnp.asarray(word_tokens, jnp.int32), dm, jnp.asarray(pron_modified, jnp.int32),
+        infer=True, max_frames=max_frames, noise_scale=0.0,
+        rngs={"sample": jax.random.PRNGKey(3)},
+    )
+    for b in range(word_tokens.shape[0]):
+        sl = slice(b, b + 1)
+        with torch.no_grad():
+            ret_ref_i = ref_m(
+                (t(word_tokens[sl], torch.long), None), t(pron_modified[sl], torch.long),
+                None, None, Tw,
+                tuple(x[sl] for x in dict_msg_t), mel2word=None, infer=True,
+            )
+        mel_ref_i = _np(ret_ref_i["mel_out"])[0]
+        T_ref = mel_ref_i.shape[0]
+        assert T_ref <= max_frames, "bump max_frames in the test"
+        m2w_b = np.asarray(out_i["mel2word"])[b]
+        assert int((m2w_b > 0).sum()) == T_ref, "duration/length-regulate mismatch"
+        diff = np.abs(np.asarray(out_i["mel_out"])[b, :T_ref] - mel_ref_i)
+        assert float(diff.max()) < 5e-4, (b, float(diff.max()))
