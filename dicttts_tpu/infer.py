@@ -56,6 +56,10 @@ class DictTTSInferencer:
         self._jit_test = jax.jit(self.task.test_step)
 
     def _bank_for(self, chars: list[str]) -> dict:
+        """Per-char dict bank for the REAL chars only; BOS/EOS rows are then
+        added exactly like the training collater (data/datasets.py
+        _dict_bank: zero key/pinyin rows, key/pinyin maps padded with 1) so
+        the inference input distribution matches training."""
         keys, key_map, pinyin, pinyin_map = [], [], [], []
         for ch in chars:
             idx = self.word_encoder.token_to_id.get(ch, 2)
@@ -79,6 +83,11 @@ class DictTTSInferencer:
             out["key_map"][i, : key_map[i].shape[0]] = key_map[i]
             out["pinyin"][i, : pinyin[i].shape[0]] = pinyin[i]
             out["pinyin_map"][i, : pinyin_map[i].shape[0]] = pinyin_map[i]
+        # BOS/EOS pad rows (training-collater convention)
+        out["keys"] = np.pad(out["keys"], ((1, 1), (0, 0), (0, 0)))
+        out["key_map"] = np.pad(out["key_map"], ((1, 1), (0, 0)), constant_values=1)
+        out["pinyin"] = np.pad(out["pinyin"], ((1, 1), (0, 0)))
+        out["pinyin_map"] = np.pad(out["pinyin_map"], ((1, 1), (0, 0)), constant_values=1)
         out["values"] = out["keys"]
         return out
 
@@ -90,7 +99,7 @@ class DictTTSInferencer:
         word_tokens = np.zeros((1, Tw), np.int64)
         ids = self.word_encoder.encode(" ".join(words))
         word_tokens[0, : len(ids)] = ids
-        bank = self._bank_for(words)
+        bank = self._bank_for(chars)
         batch = {
             "word_tokens": word_tokens,
             "pron_modified": np.pad(
@@ -118,10 +127,16 @@ class DictTTSInferencer:
             wav = self.vocoder.spec2wav(mel)
         if profile:
             print("| profile_infer totals:", {k: round(v, 4) for k, v in Timer.totals.items()})
-        pinyin_pred = [
-            self.pinyin_list[int(i)] if int(i) < len(self.pinyin_list) else "?"
-            for i in out["pinyin_pred"][0, 1 : len(chars) + 1]
-        ]
+        # two tokens per char (reference decode window) merged to syllables
+        from dicttts_tpu.eval.per import merge_token_pairs
+
+        toks = []
+        for pair in out["pinyin_pred"][0, 1 : len(chars) + 1]:
+            for i in pair:
+                i = int(i)
+                toks.append("<UNK>" if i == 0 else self.pinyin_list[i]
+                            if i < len(self.pinyin_list) else "?")
+        pinyin_pred = merge_token_pairs([t for t in toks if t != "<UNK>"])
         if out_wav:
             save_wav(out_wav, wav, self.cfg.get("audio_sample_rate", 22050))
         return wav, {"mel": mel, "pinyin": pinyin_pred, "text": norm, "n_frames": n_frames}

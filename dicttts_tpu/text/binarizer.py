@@ -256,11 +256,21 @@ class ZhBinarizer:
     def gen_dict_embeddings(self, word_encoder: TokenTextEncoder, out_dir: str):
         """Per word-vocab id: concat gloss features across pronunciations
         with sense-id maps + pinyin token structures (reference
-        binarizer_zh.py:236-313)."""
+        binarizer_zh.py:236-313).
+
+        Reference-format invariants the PER decode relies on:
+        - every pronunciation contributes EXACTLY 2 pinyin tokens
+          (non-strict initial + final_tone3; zero-initial syllables carry an
+          empty-string initial token, binarizer_zh.py:268,274) so the
+          argmax+2-token-window decode and the scorer's pair merging line up;
+        - gloss [CLS]/[SEP] special tokens get key_map 0 (masked out of the
+          S2PA attention, binarizer_zh.py:292-296).
+        """
         encode = self._gloss_encoder()
-        pinyin_vocab: list[str] = ["<pad>", "<unk>"]
+        pinyin_vocab: list[str] = ["<pad>", "<UNK>"]
         builder = IndexedDatasetBuilder(os.path.join(out_dir, "dict_embed"))
         dim = self.cfg.get("dict_embed_dim", 768)
+        special_gloss_toks = {"[CLS]", "[SEP]"}
         for idx in range(word_encoder.vocab_size):
             word = word_encoder.id_to_token.get(idx, "")
             prons = self.zh_dict.prons(word)
@@ -269,19 +279,24 @@ class ZhBinarizer:
                 gloss_text = "".join(self.zh_dict.glosses(word, pron))[:48] or word
                 feats, toks = encode(gloss_text)
                 keys.append(feats)
-                key_map.extend([sense_id] * len(feats))
+                key_map.extend(
+                    0 if t in special_gloss_toks else sense_id
+                    for t in (toks + [""] * (len(feats) - len(toks)))
+                )
                 glosses.append(toks)
                 initial, final = pinyin_to_tone3(pron)
-                for p in (initial, final):
-                    if p:
-                        if p not in pinyin_vocab:
-                            pinyin_vocab.append(p)
-                        pinyin_toks.append(p)
-                        pinyin_map.append(sense_id)
+                for p in (initial, final):  # ALWAYS both, '' initial included
+                    if p not in pinyin_vocab:
+                        pinyin_vocab.append(p)
+                    pinyin_toks.append(p)
+                    pinyin_map.append(sense_id)
             if not keys:
-                keys = [np.zeros((1, dim), np.float32)]
-                key_map = [0]
-                pinyin_toks, pinyin_map, glosses = ["<pad>"], [0], [[]]
+                # reference format for words absent from the dict
+                # (binarizer_zh.py:250-259): zero key rows with key_map
+                # [0,1,0], pinyin ['<UNK>'] with map [1]
+                keys = [np.zeros((3, dim), np.float32)]
+                key_map = [0, 1, 0]
+                pinyin_toks, pinyin_map, glosses = ["<UNK>"], [1], [["O"]]
             key_arr = np.concatenate(keys, axis=0)
             builder.add_item(
                 {
@@ -314,12 +329,20 @@ class ZhBinarizer:
         json.dump({"<SINGLE_SPK>": 0}, open(os.path.join(out_dir, "spk_map.json"), "w"))
 
         rows = list(csv.reader(open(os.path.join(proc_dir, "metadata_phone.csv"))))
+        if cfg.get("binarization_shuffle", False):
+            # reference binarization_args.shuffle (base_binarizer.py:55-57)
+            import random as _random
+
+            _random.Random(1234).shuffle(rows)
         test_num = cfg.get("test_num", min(200, max(1, len(rows) // 10)))
         valid_num = cfg.get("valid_num", test_num)
+        # NOTE: the reference aliases test = valid = item_names[:test_num]
+        # (base_binarizer.py:64-69), which test-contaminates best-ckpt
+        # selection; we deliberately keep the three splits DISJOINT.
         splits = {
             "test": rows[:test_num],
-            "valid": rows[:valid_num],
-            "train": rows[test_num:],
+            "valid": rows[test_num : test_num + valid_num],
+            "train": rows[test_num + valid_num :],
         }
         tg_dir = os.path.join(proc_dir, "mfa_outputs")
         for split, split_rows in splits.items():

@@ -1,16 +1,22 @@
 """Pinyin utilities and dictionary-based Mandarin g2p.
 
 Capability parity with the reference zh text processor
-(/root/reference/data_gen/tts/txt_processors/zh.py:47-88), which uses
-pypinyin INITIALS/FINALS_TONE3. pypinyin is not available in this image, so
-g2p resolves each character's candidate pronunciations from the online
-Chinese dictionary (data/zh-dict.json, the same asset the S2PA module
-attends over) and decomposes tone-marked syllables into
-(initial, final+tone3) with pypinyin's strict-mode rules (y/w zero
-initials, iou/uei/uen restoration, u-after-jqx -> v). Heteronym choice
-defaults to the dictionary's first reading — at runtime Dict-TTS resolves
-heteronyms through S2PA attention, which is the paper's point; the rule
-engine in text/sandhi.py supplies the hard overrides.
+(/root/reference/data_gen/tts/txt_processors/zh.py:35-88), which uses
+pypinyin INITIALS/FINALS_TONE3 with **strict=False** — as does the dict-bank
+builder (binarizer_zh.py:268-274) and the sandhi engine. pypinyin is not
+available in this image, so g2p resolves each character's candidate
+pronunciations from the online Chinese dictionary (data/zh-dict.json, the
+same asset the S2PA module attends over) and decomposes tone-marked
+syllables into (initial, final+tone3).
+
+The DEFAULT decomposition is non-strict (reference parity; the PER label
+set scripts/pron_label/label_set0.csv is in this format): y/w count as
+initials ("wai4" -> w + ai4), no iou/uei/uen restoration, no u->v after
+j/q/x. Pass strict=True for the phonologically-strict variant.
+
+Heteronym choice defaults to the dictionary's first reading — at runtime
+Dict-TTS resolves heteronyms through S2PA attention, which is the paper's
+point; the rule engine in text/sandhi.py supplies the hard overrides.
 """
 
 from __future__ import annotations
@@ -35,6 +41,9 @@ INITIALS = [
     "g", "k", "h", "j", "q", "x", "r", "z", "c", "s",
 ]
 
+# non-strict mode additionally treats y/w as initials (pypinyin strict=False)
+NONSTRICT_INITIALS = INITIALS + ["y", "w"]
+
 PUNCS = "！，。？、；：!,.?;:"
 
 
@@ -51,6 +60,16 @@ def strip_tone(syllable: str) -> tuple[str, int]:
         else:
             out.append(ch)
     return "".join(out), tone
+
+
+def split_initial_final_nonstrict(syllable: str) -> tuple[str, str]:
+    """Plain (tone-less) syllable -> (initial, final), pypinyin strict=False
+    semantics: initial = longest prefix among initials + y/w; final = rest,
+    verbatim (umlaut u is already 'v' from strip_tone)."""
+    for cand in NONSTRICT_INITIALS:
+        if syllable.startswith(cand) and len(syllable) > len(cand):
+            return cand, syllable[len(cand):]
+    return "", syllable
 
 
 def split_initial_final(syllable: str) -> tuple[str, str]:
@@ -86,10 +105,16 @@ def split_initial_final(syllable: str) -> tuple[str, str]:
     return initial, s
 
 
-def pinyin_to_tone3(syllable: str) -> tuple[str, str]:
-    """Tone-marked syllable -> (initial, final+tone3 digit or '')."""
+def pinyin_to_tone3(syllable: str, strict: bool = False) -> tuple[str, str]:
+    """Tone-marked syllable -> (initial, final+tone3 digit or '').
+
+    Default strict=False matches the reference pipeline (pypinyin
+    strict=False in zh.py/binarizer_zh.py/sandhi_processor.py) and the PER
+    label format; neutral tone carries no digit (neutral_tone_with_five
+    False in the text processors)."""
     plain, tone = strip_tone(syllable.strip())
-    initial, final = split_initial_final(plain)
+    split = split_initial_final if strict else split_initial_final_nonstrict
+    initial, final = split(plain)
     return initial, final + (str(tone) if tone else "")
 
 

@@ -1,0 +1,105 @@
+"""Reference-format PER pipeline: label parsing, pair merging, decode
+round-trip, and non-strict pinyin decomposition against the reference's
+actual label file (VERDICT round-1 missing #2)."""
+
+import os
+
+import numpy as np
+
+from dicttts_tpu.eval.per import (
+    load_label_set,
+    load_meta_predictions,
+    merge_token_pairs,
+    parse_label_ph,
+    pron_error_rate_files,
+    wer,
+)
+from dicttts_tpu.text.pinyin import pinyin_to_tone3
+
+REF_LABELS = "/root/reference/scripts/pron_label/label_set0.csv"
+
+
+def test_parse_label_ph():
+    ph = "<BOS> k a3 | er3 | p u3 # p ei2 # w ai4 | s un1 <EOS>"
+    assert parse_label_ph(ph) == ["ka3", "er3", "pu3", "pei2", "wai4", "sun1"]
+
+
+def test_merge_token_pairs_with_empty_initial():
+    # zero-initial syllables carry an empty-string initial token; split(' ')
+    # keeps them so pairing stays aligned (reference scorer behavior)
+    line = "k a3  er3 p u3".split(" ")
+    assert merge_token_pairs(line) == ["ka3", "er3", "pu3"]
+
+
+def test_reference_label_file_parses():
+    gold = load_label_set(REF_LABELS)
+    assert len(gold) == 200
+    assert gold[0][:3] == ["ka3", "er3", "pu3"]
+    for utt in gold:
+        assert all(s for s in utt)
+
+
+def test_nonstrict_decomposition_matches_label_set():
+    """initial+final from our non-strict decomposition must concatenate to
+    the label file's syllables (pypinyin strict=False parity)."""
+    cases = {
+        "kǎ": "ka3", "ěr": "er3", "pǔ": "pu3", "péi": "pei2", "wài": "wai4",
+        "sūn": "sun1", "wán": "wan2", "huá": "hua2", "tī": "ti1", "yōng": "yong1",
+        "yī": "yi1", "wǔ": "wu3", "jūn": "jun1", "liú": "liu2", "huí": "hui2",
+        "yuán": "yuan2", "nǚ": "nv3", "lüè": "lve4", "zhuāng": "zhuang1",
+    }
+    for marked, expect in cases.items():
+        initial, final = pinyin_to_tone3(marked)
+        assert initial + final == expect, (marked, initial, final, expect)
+
+
+def test_per_round_trip(tmp_path):
+    """meta.csv written the way DictTTSTask.test_end writes it scores 0%
+    against a matching label file; one wrong syllable scores 1/N."""
+    labels = tmp_path / "labels.csv"
+    labels.write_text(
+        ",item_name,spk,txt,ph,wav_fn,others\n"
+        "0,1,SPK1,卡尔普,<BOS> k a3 | er3 | p u3 <EOS>,x.wav,{}\n"
+        "1,2,SPK1,澳门,<BOS> ao4 | m en2 <EOS>,y.wav,{}\n",
+        encoding="utf-8",
+    )
+    meta = tmp_path / "meta.csv"
+    # our decode: 2 tokens/char; zero-initial -> '' token; '<UNK>' stripped
+    meta.write_text(
+        ",item_name,text,pinyin_tokens,wav_fn_pred,wav_fn_gt\n"
+        "0,1,卡尔普,k a3  er3 p u3,p.wav,g.wav\n"
+        "1,2,澳门, ao4 m en2,p2.wav,g2.wav\n",
+        encoding="utf-8",
+    )
+    assert pron_error_rate_files(str(meta), str(labels)) == 0.0
+
+    meta_bad = tmp_path / "meta_bad.csv"
+    meta_bad.write_text(
+        ",item_name,text,pinyin_tokens,wav_fn_pred,wav_fn_gt\n"
+        "0,1,卡尔普,k a4  er3 p u3,p.wav,g.wav\n"  # ka4 != ka3
+        "1,2,澳门, ao4 m en2,p2.wav,g2.wav\n",
+        encoding="utf-8",
+    )
+    per = pron_error_rate_files(str(meta_bad), str(labels))
+    assert abs(per - 1 / 5) < 1e-9
+
+
+def test_unk_rows_stripped():
+    assert merge_token_pairs("<UNK> <UNK> k a3".replace("<UNK> ", "").split(" ")) == ["ka3"]
+
+
+def test_task_decode_emits_reference_window():
+    """DictTTSTask.test_step decode: argmax position + 2-token window."""
+    import jax
+    import jax.numpy as jnp
+
+    pron_attn = np.zeros((1, 3, 6), np.float32)
+    pron_attn[0, 0, 2] = 1.0  # winning sense 2 -> tokens at 2,3
+    pron_attn[0, 1, 0] = 1.0
+    pinyin = np.asarray([[[5, 6, 7, 8, 0, 0], [9, 10, 0, 0, 0, 0], [0] * 6]], np.int64)
+    pron_idx = jnp.argmax(jnp.asarray(pron_attn), axis=-1)
+    idx2 = jnp.stack([pron_idx, jnp.minimum(pron_idx + 1, pinyin.shape[2] - 1)], -1)
+    ids = np.asarray(jnp.take_along_axis(jnp.asarray(pinyin), idx2, axis=2))
+    assert ids[0, 0].tolist() == [7, 8]
+    assert ids[0, 1].tolist() == [9, 10]
+    assert ids[0, 2].tolist() == [0, 0]  # pad row -> '<UNK> <UNK>', stripped
