@@ -199,11 +199,28 @@ class TTSBatchProvider:
                     [s["pron_modified"][:t_w] for s in samples], max_len=t_w
                 )
             if "keys" in samples[0]:
+                # bucket the gloss (L_k) and pinyin (L_p) axes too — padding
+                # them to the batch max would give nearly every batch a fresh
+                # shape and recompile the jitted train step (SURVEY §7
+                # demands (T_txt, T_mel, L_gloss) bucketing)
+                gloss_b = tuple(cfg.get("gloss_buckets", ())) or None
+                piny_b = tuple(cfg.get("pinyin_buckets", ())) or None
+                l_k = shape_bucket(
+                    max(s["keys"].shape[1] for s in samples), 32, gloss_b
+                )
+                l_p = shape_bucket(
+                    max(s["pinyin"].shape[1] for s in samples), 8, piny_b
+                )
                 for key in ("keys", "values"):
-                    arr = collate_nd([s[key] for s in samples], max_lens=(t_w, None, None))
+                    arr = collate_nd([s[key][:, :l_k] for s in samples], max_lens=(t_w, l_k, None))
                     batch[key] = arr.astype(np.float32)
-                for key in ("key_map", "pinyin", "pinyin_map"):
-                    batch[key] = collate_nd([s[key] for s in samples], max_lens=(t_w, None)).astype(np.int64)
+                batch["key_map"] = collate_nd(
+                    [s["key_map"][:, :l_k] for s in samples], max_lens=(t_w, l_k)
+                ).astype(np.int64)
+                for key in ("pinyin", "pinyin_map"):
+                    batch[key] = collate_nd(
+                        [s[key][:, :l_p] for s in samples], max_lens=(t_w, l_p)
+                    ).astype(np.int64)
         return batch
 
     def _iter(self):

@@ -31,8 +31,10 @@ class SyntheticDictTTSProvider:
         # a fixed toy dictionary: every word has 2 senses, 3 gloss tokens each
         self.gloss_bank = rng.randn(word_vocab, l_gloss, embed_dim).astype(np.float32)
         self.pinyin_bank = rng.randint(1, pinyin_vocab, size=(word_vocab, l_pinyin))
-        key_map_row = np.array([1, 1, 1, 2, 2, 2])[:l_gloss]
-        pinyin_map_row = np.array([1, 1, 2, 2])[:l_pinyin]
+        # every word has 2 senses: first half of gloss/pinyin tokens sense 1,
+        # second half sense 2 (generalizes to any l_gloss/l_pinyin)
+        key_map_row = ((np.arange(l_gloss) >= l_gloss // 2) + 1).astype(np.int64)
+        pinyin_map_row = ((np.arange(l_pinyin) >= l_pinyin // 2) + 1).astype(np.int64)
         for _ in range(n_items):
             n_words = rng.randint(4, t_words + 1)
             words = rng.randint(3, word_vocab, size=t_words)
