@@ -43,7 +43,10 @@ class DictTTSInferencer:
         with open(os.path.join(data_dir, "pinyin_encoder.pkl"), "rb") as f:
             self.pinyin_list = pickle.load(f)
         self.dict_ds = IndexedDataset(os.path.join(data_dir, "dict_embed"))
-        self.g2p = ZhG2P(cfg.get("dict_path", "data/zh-dict.json"))
+        self.g2p = ZhG2P(
+            cfg.get("dict_path", "data/zh-dict.json"),
+            pos_merge=cfg.get("txt_processor", "zh_dict") == "zh_dict",
+        )
         self.sandhi = SandhiProcessor(load_dict(cfg.get("dict_path", "data/zh-dict.json")))
         self.task = DictTTSTask(cfg)
         if state is None:

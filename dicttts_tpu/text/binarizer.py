@@ -53,7 +53,10 @@ class PreAlign:
 
     def __init__(self, cfg: dict):
         self.cfg = cfg
-        self.g2p = ZhG2P(cfg.get("dict_path", "data/zh-dict.json"))
+        self.g2p = ZhG2P(
+            cfg.get("dict_path", "data/zh-dict.json"),
+            pos_merge=cfg.get("txt_processor", "zh_dict") == "zh_dict",
+        )
 
     def meta_data(self):
         """Yield (item_name, wav_fn, text[, spk]). Dataset adapters override."""
@@ -124,7 +127,10 @@ class ZhBinarizer:
         self.cfg = cfg
         self.zh_dict = load_dict(cfg.get("dict_path", "data/zh-dict.json"))
         self.sandhi = SandhiProcessor(self.zh_dict)
-        self.g2p = ZhG2P(cfg.get("dict_path", "data/zh-dict.json"))
+        self.g2p = ZhG2P(
+            cfg.get("dict_path", "data/zh-dict.json"),
+            pos_merge=cfg.get("txt_processor", "zh_dict") == "zh_dict",
+        )
 
     # -- feature extraction ---------------------------------------------------
     def _wav_features(self, wav: np.ndarray):

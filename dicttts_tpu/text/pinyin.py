@@ -150,10 +150,17 @@ class ZhG2P:
     [initial, final_tone3] per char with '|' between chars of the same word
     and '#' at jieba word boundaries — the reference's separator scheme
     (txt_processors/zh.py:57-80). ASCII words become 'ENG'.
+
+    pos_merge=True is the zh_dict processor variant
+    (txt_processors/zh_dict.py:68-71): word boundaries come from
+    jieba.posseg + the sandhi engine's pre-merge passes (不/一/
+    reduplication/儿 folded into their neighbors) so they line up with the
+    pron_modified indices.
     """
 
-    def __init__(self, dict_path: str):
+    def __init__(self, dict_path: str, pos_merge: bool = False):
         self.zh_dict = load_dict(dict_path)
+        self.pos_merge = pos_merge
 
     def char_phones(self, char: str) -> list[str]:
         prons = self.zh_dict.prons(char)
@@ -170,11 +177,22 @@ class ZhG2P:
         txt = re.sub("[　 ]+", "", txt)
         return txt
 
-    def process(self, txt: str) -> tuple[list[str], str]:
+    def segment(self, txt: str) -> list[str]:
+        if self.pos_merge:
+            import jieba.posseg as psg
+
+            from dicttts_tpu.text.sandhi import SandhiProcessor
+
+            seg = [[w, p] for w, p in psg.lcut(txt)]
+            return [w for w, _ in SandhiProcessor.pre_merge_for_modify(seg)]
         import jieba
 
+        return list(jieba.cut(txt))
+
+    def process(self, txt: str) -> tuple[list[str], str]:
         txt = self.preprocess(txt)
-        words = list(jieba.cut(txt))
+        txt = txt.replace("嗯", "恩")  # reference zh_dict.py:53 alignment fix
+        words = self.segment(txt)
         ph_list: list[str] = []
         for w_i, word in enumerate(words):
             if w_i > 0:

@@ -34,7 +34,12 @@ def test_num2chn():
     assert num2chn(0) == "零"
     assert num2chn(15) == "十五"
     assert num2chn(105) == "一百零五"
-    assert num2chn(1234) == "一千二百三十四"
+    # 两-selection (reference num2chn alt_two): 二 -> 两 before 百/千/万/亿
+    assert num2chn(1234) == "一千两百三十四"
+    assert num2chn(1234, alt_two=False) == "一千二百三十四"
+    assert num2chn(2000) == "两千"
+    assert num2chn(22) == "二十二"
+    assert num2chn(220000) == "二十二万"
     assert num2chn(10000) == "一万"
     assert num2chn(100000001) == "一亿零一"
 
