@@ -126,6 +126,8 @@ class TTSBinaryDataset:
             if cfg.get("use_pitch_embed") and "f0" in item:
                 f0, uv = norm_interp_f0(np.asarray(item["f0"])[:T], cfg.get("pitch_norm", "log"))
                 sample["f0"], sample["uv"] = f0, uv
+        if cfg.get("use_spk_id"):
+            sample["spk_ids"] = np.int64(item.get("spk_id", 0))
         if self.kind in ("word", "dict"):
             sample["words"] = item["words"]
             sample["word_tokens"] = np.asarray(item["word_tokens"], np.int64)
@@ -186,6 +188,8 @@ class TTSBatchProvider:
         for key in ("f0", "uv"):
             if key in samples[0]:
                 batch[key] = collate_1d([s[key][:t_mel] for s in samples], max_len=t_mel)
+        if "spk_ids" in samples[0]:
+            batch["spk_ids"] = np.asarray([int(s["spk_ids"]) for s in samples], np.int32)
         batch["_meta"] = [
             {k: s.get(k) for k in self.NON_ARRAY_KEYS if k in s} for s in samples
         ]

@@ -78,7 +78,9 @@ class DictTTSTask(AdversarialTTSTask):
         params_g = self.model.init(
             {"params": r1, "sample": r2},
             jnp.ones((1, Tw), jnp.int32), dm, z((1, Tw), jnp.int32),
-            mel2word=jnp.ones((1, Tm), jnp.int32), tgt_mels=z((1, Tm, 80)),
+            mel2word=jnp.ones((1, Tm), jnp.int32),
+            spk_ids=z((1,), jnp.int32) if self.model.num_spk > 0 else None,
+            tgt_mels=z((1, Tm, 80)),
         )["params"]
         params_d = self._init_disc_params(r3)
         return {
@@ -231,6 +233,7 @@ class DictTTSTask(AdversarialTTSTask):
             batch["word_tokens"],
             _dict_msg(batch),
             batch.get("pron_modified"),
+            spk_ids=batch.get("spk_ids"),
             infer=True,
             max_frames=self.infer_max_frames,
             rngs={"sample": rng},

@@ -56,6 +56,7 @@ class PortaSpeechAdvTask(AdversarialTTSTask):
             jnp.ones((1, Tph), jnp.int32),
             W,
             mel2word=jnp.ones((1, Tm), jnp.int32),
+            spk_ids=jnp.zeros((1,), jnp.int32) if self.model.num_spk > 0 else None,
             tgt_mels=jnp.zeros((1, Tm, 80)),
         )["params"]
         params_d = self._init_disc_params(r3)
