@@ -105,9 +105,12 @@ class S2PAAttention(nn.Module):
         q = q * self.key_size**-0.5
 
         if self.use_pallas and deterministic:
-            from dicttts_tpu.ops.s2pa_pallas import s2pa_fused
+            from dicttts_tpu.ops.s2pa_pallas import pad_dict_msg, s2pa_fused
 
-            context, weights, pron_weights = s2pa_fused(q, k, v, key_map, pinyin_map)
+            L, P = key_map.shape[-1], pinyin_map.shape[-1]
+            k_p, v_p, km_p, _, pm_p = pad_dict_msg(k, v, key_map, pinyin, pinyin_map)
+            context, weights, pron_weights = s2pa_fused(q, k_p, v_p, km_p, pm_p)
+            weights, pron_weights = weights[..., :L], pron_weights[..., :P]
             align = weights
         else:
             logits = jnp.einsum("btlh,bth->btl", k, q)

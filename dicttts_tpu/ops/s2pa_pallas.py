@@ -12,7 +12,8 @@ Pallas attention kernel").
 Layout: tokens are flattened to rows [N = B*T]; the grid tiles rows by
 TILE_R. Per tile, k/v blocks [TILE_R, L, H] stream HBM->VMEM once and all
 intermediates stay in registers/VMEM. L and H should be 128-multiples for
-lane alignment (pad_dict_msg pads L; H=192 is 1.5 lanes — acceptable).
+lane alignment — `pad_dict_msg` (below) pads L/P as an exact masked
+transform; H=192 is 1.5 lanes, acceptable.
 
 Used at inference (deterministic path) via S2PAAttention(use_pallas=...);
 training keeps the XLA einsum path (dropout on weights).
@@ -28,6 +29,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 MASK_VALUE = -1e9
+
+
+def pad_dict_msg(keys, values, key_map, pinyin, pinyin_map, lane: int = 128):
+    """Pad the gloss axis L to a lane multiple (and the pinyin axis P to 8)
+    for the fused kernel. An exact transform: padded gloss columns carry
+    key_map 0, which the kernel masks to -1e9 before the softmax, and padded
+    pinyin columns carry pinyin_map 0, which the sense one-hot zeroes."""
+    L = keys.shape[2]
+    pad_l = (-L) % lane
+    P = pinyin.shape[2]
+    pad_p = (-P) % 8
+    if pad_l:
+        keys = jnp.pad(keys, ((0, 0), (0, 0), (0, pad_l), (0, 0)))
+        values = jnp.pad(values, ((0, 0), (0, 0), (0, pad_l), (0, 0)))
+        key_map = jnp.pad(key_map, ((0, 0), (0, 0), (0, pad_l)))
+    if pad_p:
+        pinyin = jnp.pad(pinyin, ((0, 0), (0, 0), (0, pad_p)))
+        pinyin_map = jnp.pad(pinyin_map, ((0, 0), (0, 0), (0, pad_p)))
+    return keys, values, key_map, pinyin, pinyin_map
 
 
 def _s2pa_kernel(q_ref, k_ref, v_ref, key_map_ref, pinyin_map_ref,

@@ -329,7 +329,13 @@ def convert_dict_tts(torch_state: dict, dur_predictor_layers: int = 3,
 
 
 def load_torch_checkpoint(path: str) -> dict:
-    """Load a torch .ckpt/.pt file into numpy dicts (CPU, no grad)."""
+    """Load a torch .ckpt/.pt file into a flat {name: ndarray} dict.
+
+    Handles the reference's formats: vocoder yaml ckpts
+    ({'state_dict': {'model_gen': ...}} / json {'generator': ...}) and task
+    ckpts whose state_dict nests per-child dicts
+    ({'state_dict': {'model': {...}, 'mel_disc': {...}}},
+    utils/trainer.py:436-449) — children flatten to 'model.xxx' keys."""
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
@@ -341,6 +347,13 @@ def load_torch_checkpoint(path: str) -> dict:
         ckpt = ckpt["generator"]
     out = {}
     for k, v in ckpt.items():
+        if isinstance(v, dict):  # nested child module state_dict
+            for kk, vv in v.items():
+                try:
+                    out[f"{k}.{kk}"] = vv.detach().cpu().numpy()
+                except AttributeError:
+                    pass
+            continue
         try:
             out[k] = v.detach().cpu().numpy()
         except AttributeError:

@@ -341,6 +341,62 @@ def test_fvae_train_and_infer_parity(ref):
     assert np.max(np.abs(np.asarray(xr_i) - _np(xr_ref_i.transpose(1, 2)))) < 5e-4
 
 
+def test_reference_checkpoint_file_roundtrip(ref, tmp_path):
+    """A checkpoint saved in the reference trainer's on-disk layout
+    ({'state_dict': {'model': ..., 'mel_disc': ...}}, utils/trainer.py:
+    436-449) loads through load_torch_checkpoint + strip_prefix +
+    convert_dict_tts — i.e. the released dicttts_biaobei_wo_gumbel ckpt is
+    loadable as-is."""
+    import torch
+
+    from dicttts_tpu.utils.torch_convert import (
+        convert_dict_tts,
+        load_torch_checkpoint,
+        strip_prefix,
+    )
+
+    from modules.dict_tts.model import PortaSpeech_dict
+
+    torch.manual_seed(11)
+
+    class Dict_:
+        def __len__(self):
+            return WORD_SIZE
+
+        def pad(self):
+            return 0
+
+    m = PortaSpeech_dict(Dict_())
+    payload = {
+        "epoch": 0,
+        "global_step": 300000,
+        "state_dict": {"model": m.state_dict(), "mel_disc": {}},
+    }
+    path = str(tmp_path / "model_ckpt_steps_300000.ckpt")
+    torch.save(payload, path)
+
+    flat = load_torch_checkpoint(path)
+    flat = strip_prefix(flat, "model.")
+    params = convert_dict_tts(flat)
+    direct = convert_dict_tts({k: _np(v) for k, v in m.state_dict().items()})
+    flat_a = jax_flatten(params)
+    flat_b = jax_flatten(direct)
+    assert flat_a.keys() == flat_b.keys()
+    for k in flat_a:
+        np.testing.assert_array_equal(flat_a[k], flat_b[k])
+
+
+def jax_flatten(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}"
+        if isinstance(v, dict):
+            out.update(jax_flatten(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # whole model: PortaSpeech_dict vs DictTTS
 # ---------------------------------------------------------------------------
