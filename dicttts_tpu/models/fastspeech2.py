@@ -173,6 +173,62 @@ class PitchPredictor(nn.Module):
         return nn.Dense(self.odim, name="out")(x)
 
 
+class EnergyPredictor(nn.Module):
+    """Per-frame energy predictor (reference EnergyPredictor,
+    tts_modules.py:300-304 — a PitchPredictor with odim=1)."""
+
+    n_chans: int = 384
+    n_layers: int = 5
+    kernel_size: int = 5
+    dropout_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        return PitchPredictor(
+            self.n_chans, self.n_layers, self.kernel_size, self.dropout_rate, odim=1
+        )(x, deterministic)[..., 0]
+
+
+def energy_to_coarse(energy: jnp.ndarray, bins: int = 256, max_energy: float = 4.0) -> jnp.ndarray:
+    """Frame energy -> coarse bucket ids 1..bins-1 (0 = pad)."""
+    ids = jnp.clip(energy / max_energy * (bins - 2), 0, bins - 2).astype(jnp.int32) + 1
+    return jnp.where(energy > 0, ids, 0)
+
+
+def mel_energy(mel: jnp.ndarray) -> jnp.ndarray:
+    """[B, T, C] log-mel -> [B, T] frame energy (RMS of the linear mel)."""
+    return jnp.sqrt(jnp.mean(jnp.square(jnp.power(10.0, mel)), axis=-1))
+
+
+class RefEncoder(nn.Module):
+    """Reference-mel utterance encoder -> [B, C] embedding (reference
+    RefEncoder, tts_modules.py:593-652, 'ln' norm variant): strided conv
+    stack with LayerNorm+ReLU+dropout, time mean, linear projection.
+
+    hidden_stride_kernel: ("filters,stride,kernel", ...) like the reference
+    config strings; filters 0 = out_channels."""
+
+    out_channels: int = 192
+    hidden_stride_kernel: tuple = ("0,3,5", "0,3,5", "0,2,5", "0,2,5", "0,2,5")
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, mel, deterministic: bool = True):
+        from dicttts_tpu.models.layers import LayerNorm
+
+        x = mel  # [B, T, C_mel]
+        for i, fsk in enumerate(self.hidden_stride_kernel):
+            filters, stride, kernel = (int(v) for v in fsk.split(","))
+            filters = filters or self.out_channels
+            x = nn.Conv(filters, (kernel,), strides=(stride,),
+                        padding=kernel // 2, name=f"conv_{i}")(x)
+            x = nn.relu(x)
+            x = LayerNorm(name=f"ln_{i}")(x)
+            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = jnp.mean(x, axis=1)  # [B, C]
+        return nn.Dense(self.out_channels, name="proj")(x)
+
+
 class FastSpeech2(nn.Module):
     n_vocab: int
     hidden_size: int = 256
@@ -194,6 +250,8 @@ class FastSpeech2(nn.Module):
     use_pitch_embed: bool = True
     use_uv: bool = True
     pitch_norm: str = "log"
+    use_energy_embed: bool = False
+    use_ref_enc: bool = False
     num_spk: int = 0
     frames_multiple: int = 1
 
@@ -223,6 +281,11 @@ class FastSpeech2(nn.Module):
             self.pitch_predictor = PitchPredictor(
                 n_chans=ph, kernel_size=self.predictor_kernel
             )
+        if self.use_energy_embed:
+            self.energy_embed = nn.Embed(256, self.hidden_size)
+            self.energy_predictor = EnergyPredictor(n_chans=ph, kernel_size=self.predictor_kernel)
+        if self.use_ref_enc:
+            self.ref_encoder = RefEncoder(out_channels=self.hidden_size, dropout=self.dropout)
         if self.num_spk > 0:
             self.spk_embed_proj = nn.Embed(self.num_spk, self.hidden_size)
 
@@ -233,6 +296,8 @@ class FastSpeech2(nn.Module):
         spk_ids: Optional[jnp.ndarray] = None,
         f0: Optional[jnp.ndarray] = None,  # [B, T_mel] normalized
         uv: Optional[jnp.ndarray] = None,  # [B, T_mel]
+        energy: Optional[jnp.ndarray] = None,  # [B, T_mel]
+        ref_mels: Optional[jnp.ndarray] = None,  # [B, T_ref, C] for RefEncoder
         infer: bool = False,
         max_frames: Optional[int] = None,
         deterministic: bool = True,
@@ -245,6 +310,8 @@ class FastSpeech2(nn.Module):
             if (self.num_spk > 0 and spk_ids is not None)
             else 0.0
         )
+        if self.use_ref_enc and ref_mels is not None:
+            spk = spk + self.ref_encoder(ref_mels, deterministic)[:, None, :]
 
         # duration
         dur_inp = (enc + spk) * src_nonpadding
@@ -277,6 +344,18 @@ class FastSpeech2(nn.Module):
             )
             ret["f0_denorm"] = f0_denorm
             decoder_inp = decoder_inp + self.pitch_embed(f0_to_coarse(f0_denorm))
+
+        # energy (reference EnergyPredictor path; optional)
+        if self.use_energy_embed:
+            energy_inp = (decoder_inp + spk) * tgt_nonpadding
+            energy_inp = jax.lax.stop_gradient(energy_inp) + self.predictor_grad * (
+                energy_inp - jax.lax.stop_gradient(energy_inp)
+            )
+            energy_pred = self.energy_predictor(energy_inp, deterministic)
+            ret["energy_pred"] = energy_pred
+            if energy is None:
+                energy = energy_pred
+            decoder_inp = decoder_inp + self.energy_embed(energy_to_coarse(energy))
 
         decoder_inp = (decoder_inp + spk) * tgt_nonpadding
         ret["decoder_inp"] = decoder_inp

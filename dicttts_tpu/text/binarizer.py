@@ -62,12 +62,57 @@ class PreAlign:
         """Yield (item_name, wav_fn, text[, spk]). Dataset adapters override."""
         raise NotImplementedError
 
+    def process_wav(self, item_name: str, wav_fn: str) -> str:
+        """Optional wav pre-processing (reference base_pre_align.py:37-56
+        sox/trim/rnnoise stage, re-expressed without external binaries):
+        pre_align_args.{trim_sil, denoise, resample} write a processed copy
+        to processed_data_dir/wav_inputs/ and return its path."""
+        args = self.cfg.get("pre_align_args", {})
+        if not (args.get("trim_sil") or args.get("denoise") or args.get("resample")):
+            return wav_fn
+        from dicttts_tpu.vocoders.hifigan import load_wav, save_wav
+
+        wav, sr = load_wav(wav_fn)
+        target_sr = self.cfg.get("audio_sample_rate", 22050)
+        if args.get("resample") and sr != target_sr:
+            # polyphase-free FFT resample (offline host-side)
+            n_out = int(round(len(wav) * target_sr / sr))
+            spec = np.fft.rfft(wav)
+            n_keep = min(len(spec), n_out // 2 + 1)
+            out_spec = np.zeros(n_out // 2 + 1, complex)
+            out_spec[:n_keep] = spec[:n_keep]
+            wav = np.fft.irfft(out_spec, n_out).astype(np.float32) * (n_out / len(wav))
+            sr = target_sr
+        if args.get("denoise"):
+            from dicttts_tpu.vocoders.denoise import denoise
+
+            wav = denoise(wav)
+        if args.get("trim_sil"):
+            # librosa.effects.trim equivalent: drop leading/trailing frames
+            # more than top_db below the peak RMS
+            top_db = float(args.get("trim_top_db", 60))
+            frame, hop = 2048, 512
+            n = max(1 + (len(wav) - frame) // hop, 1)
+            rms = np.asarray([
+                np.sqrt(np.mean(np.square(wav[i * hop : i * hop + frame]))) for i in range(n)
+            ])
+            thresh = rms.max() * 10 ** (-top_db / 20)
+            keep = np.where(rms > thresh)[0]
+            if len(keep):
+                wav = wav[keep[0] * hop : min(keep[-1] * hop + frame, len(wav))]
+        out_dir = os.path.join(self.cfg["processed_data_dir"], "wav_inputs")
+        os.makedirs(out_dir, exist_ok=True)
+        new_fn = os.path.join(out_dir, f"{item_name}.wav")
+        save_wav(new_fn, wav, sr)
+        return new_fn
+
     def process(self):
         out_dir = self.cfg["processed_data_dir"]
         os.makedirs(out_dir, exist_ok=True)
         rows, phones, words = [], Counter(), Counter()
         for item in self.meta_data():
             item_name, wav_fn, text = item[:3]
+            wav_fn = self.process_wav(item_name, wav_fn)
             spk = item[3] if len(item) > 3 else "<SINGLE_SPK>"
             ph_list, norm_text = self.g2p.process(text)
             rows.append([item_name, wav_fn, norm_text, " ".join(ph_list), spk])
@@ -243,6 +288,13 @@ class ZhBinarizer:
             from dicttts_tpu.ops.speaker import spectral_speaker_stats
 
             item["spk_embed"] = spectral_speaker_stats(mel, f0)
+        if self.cfg.get("with_f0cwt"):
+            from dicttts_tpu.ops.cwt import f0_cwt
+
+            cwt = f0_cwt(item["f0"])
+            item["cwt_spec"] = cwt["cwt_spec"]
+            item["cwt_mean"] = cwt["cwt_mean"]
+            item["cwt_std"] = cwt["cwt_std"]
         return item
 
     # -- dictionary bank -------------------------------------------------------
