@@ -121,3 +121,24 @@ def test_prealign_wav_ops(tmp_path):
     # leading/trailing silence dropped: much shorter than the padded input
     assert len(trimmed) < len(wav) - sr // 4
     assert np.abs(trimmed).max() > 0.1
+
+
+def test_ctm_to_textgrid_roundtrip(tmp_path):
+    import subprocess
+    import sys as _sys
+
+    from dicttts_tpu.text.textgrid import parse_textgrid
+
+    ctm = tmp_path / "phone.ctm"
+    ctm.write_text(
+        "utt1 1 0.00 0.10 n\nutt1 1 0.10 0.22 i3\nutt1 1 0.40 0.15 h\n"
+        "utt1 1 0.55 0.20 ao3\nutt2 1 0.00 0.30 t\n"
+    )
+    out = tmp_path / "tg"
+    subprocess.check_call(
+        [_sys.executable, "scripts/ctm_to_textgrid.py", "--phone_ctm", str(ctm), "--out", str(out)]
+    )
+    ivs = parse_textgrid((out / "utt1.TextGrid").read_text())
+    labels = [l for _, _, l in ivs]
+    assert labels == ["n", "i3", "", "h", "ao3"]
+    assert abs(ivs[-1][1] - 0.75) < 1e-6
