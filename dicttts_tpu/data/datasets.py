@@ -176,11 +176,13 @@ class TTSBatchProvider:
         t_mel = shape_bucket(max(s["mels"].shape[0] for s in samples), 64, mel_b)
         fm = cfg.get("frames_multiple", 1)
         t_mel = ((t_mel + fm - 1) // fm) * fm
+        # shape_bucket may return its LAST bucket for oversized items — the
+        # contract is that the collater truncates to it (data/collate.py)
         batch = {
-            "txt_tokens": collate_1d([s["txt_tokens"] for s in samples], max_len=t_txt),
+            "txt_tokens": collate_1d([s["txt_tokens"][:t_txt] for s in samples], max_len=t_txt),
             "mels": collate_2d([s["mels"][:t_mel] for s in samples], max_len=t_mel),
             "mel_lengths": np.asarray([min(int(s["mel_lengths"]), t_mel) for s in samples], np.int32),
-            "txt_lengths": np.asarray([len(s["txt_tokens"]) for s in samples], np.int32),
+            "txt_lengths": np.asarray([min(len(s["txt_tokens"]), t_txt) for s in samples], np.int32),
         }
         for key in ("mel2ph", "mel2word"):
             if key in samples[0]:
@@ -195,9 +197,11 @@ class TTSBatchProvider:
         ]
         if "word_tokens" in samples[0]:
             t_w = shape_bucket(max(len(s["word_tokens"]) for s in samples), 16, txt_b)
-            batch["word_tokens"] = collate_1d([s["word_tokens"] for s in samples], max_len=t_w)
-            batch["ph2word"] = collate_1d([s["ph2word"] for s in samples], max_len=t_txt)
-            batch["word_lengths"] = np.asarray([int(s["word_lengths"]) for s in samples], np.int32)
+            batch["word_tokens"] = collate_1d([s["word_tokens"][:t_w] for s in samples], max_len=t_w)
+            batch["ph2word"] = collate_1d([s["ph2word"][:t_txt] for s in samples], max_len=t_txt)
+            batch["word_lengths"] = np.asarray(
+                [min(int(s["word_lengths"]), t_w) for s in samples], np.int32
+            )
             if "pron_modified" in samples[0]:
                 batch["pron_modified"] = collate_1d(
                     [s["pron_modified"][:t_w] for s in samples], max_len=t_w
@@ -216,14 +220,14 @@ class TTSBatchProvider:
                     max(s["pinyin"].shape[1] for s in samples), 8, piny_b
                 )
                 for key in ("keys", "values"):
-                    arr = collate_nd([s[key][:, :l_k] for s in samples], max_lens=(t_w, l_k, None))
+                    arr = collate_nd([s[key][:t_w, :l_k] for s in samples], max_lens=(t_w, l_k, None))
                     batch[key] = arr.astype(np.float32)
                 batch["key_map"] = collate_nd(
-                    [s["key_map"][:, :l_k] for s in samples], max_lens=(t_w, l_k)
+                    [s["key_map"][:t_w, :l_k] for s in samples], max_lens=(t_w, l_k)
                 ).astype(np.int64)
                 for key in ("pinyin", "pinyin_map"):
                     batch[key] = collate_nd(
-                        [s[key][:, :l_p] for s in samples], max_lens=(t_w, l_p)
+                        [s[key][:t_w, :l_p] for s in samples], max_lens=(t_w, l_p)
                     ).astype(np.int64)
         return batch
 

@@ -94,6 +94,35 @@ def _conformer_decoder(cfg):
     return ConformerDecoder()
 
 
+@register_encoder("tacotron")
+def _tacotron_encoder(cfg):
+    from dicttts_tpu.models.tacotron import TacotronEncoder
+
+    return TacotronEncoder(
+        n_vocab=cfg["n_vocab"], channels=cfg.get("hidden_size", 256),
+        K=cfg.get("encoder_K", 8), num_highways=cfg.get("num_highways", 4),
+        dropout=cfg.get("dropout", 0.5),
+    )
+
+
+@register_encoder("tacotron2")
+def _tacotron2_encoder(cfg):
+    from dicttts_tpu.models.tacotron import Tacotron2Encoder
+
+    return Tacotron2Encoder(n_vocab=cfg["n_vocab"], channels=cfg.get("hidden_size", 256))
+
+
+@register_decoder("rnn")
+def _rnn_decoder(cfg):
+    from dicttts_tpu.models.tacotron import DecoderRNN
+
+    return DecoderRNN(
+        hidden_size=cfg.get("hidden_size", 256),
+        decoder_rnn_dim=cfg.get("decoder_rnn_dim", 0),
+        dropout=cfg.get("dropout", 0.1),
+    )
+
+
 @register_encoder("rel_fft")
 def _rel_fft_encoder(cfg):
     return RelTransformerEncoder(
