@@ -112,13 +112,16 @@ def _bench_trainer(bdir: str) -> dict:
         # single bucket per axis bounds TPU compiles to the scan + one step
         "mel_buckets": [512], "txt_buckets": [80],
         "gloss_buckets": [64], "pinyin_buckets": [8], "frames_multiple": 4,
+        # device-resident dict bank: the [V, L, 768] bank uploads once and
+        # the step gathers by word id — per-batch host->device traffic drops
+        # from O(B*Tw*L*768) to the mel/token tensors
+        "use_device_dict_bank": True,
     }
     ds = TTSBinaryDataset(bdir, "train", cfg, kind="dict")
     provider = TTSBatchProvider(ds, cfg, shuffle=True)
     task = DictTTSTask(cfg, provider)
-    n_steps = 24
 
-    def run() -> float:
+    def run(n_steps: int) -> float:
         trainer = Trainer(
             work_dir="", max_updates=n_steps, val_check_interval=10**9,
             num_sanity_val_steps=0, steps_per_dispatch=8, tb_log_interval=10**9,
@@ -128,13 +131,20 @@ def _bench_trainer(bdir: str) -> dict:
         trainer.fit(task)
         return time.perf_counter() - t0
 
-    run()  # compile + warm
-    wall = min(run(), run())
+    # every fit() re-traces its jits, so time TWO runs of different length
+    # and difference them: tracing + cached-compile + fixed overhead cancel,
+    # the data pipeline + dispatch + device time per step remain.
+    run(8)  # populate the persistent compile cache
+    n_short, n_long = 40, 160
+    wall_short = run(n_short)
+    wall_long = run(n_long)
+    per_step = max((wall_long - wall_short) / (n_long - n_short), 1e-9)
     return {
-        "train_steps_per_sec_real_data": round(n_steps / wall, 2),
-        "train_step_ms_real_data": round(wall / n_steps * 1000, 2),
+        "train_steps_per_sec_real_data": round(1.0 / per_step, 2),
+        "train_step_ms_real_data": round(per_step * 1000, 2),
         "train_batch_sentences": 8,
         "train_bucket_frames": 512,
+        "train_fixed_overhead_s": round(wall_short - n_short * per_step, 2),
     }
 
 

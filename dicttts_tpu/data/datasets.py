@@ -73,6 +73,59 @@ class TTSBinaryDataset:
     def __len__(self):
         return len(self.ds)
 
+    def device_bank(self, max_gloss: int | None = None, max_pinyin: int | None = None,
+                    dtype=None) -> dict:
+        """Whole-vocab dictionary bank as dense arrays for DEVICE residency.
+
+        The dict bank is a fixed function of the word vocab, so instead of
+        assembling + shipping [B, T_w, L_k, 768] tensors host->device every
+        batch (the dominant input-pipeline byte volume), the full
+        [V, L_k, 768] bank uploads once and the jitted step gathers rows by
+        word id on device — HBM gather bandwidth replaces PCIe/host traffic.
+        BOS/EOS/pad rows are overridden to the training-collater convention
+        (zero keys, map pad 1) so both paths see identical inputs.
+        Returns {'keys','key_map','pinyin','pinyin_map'} ([V,L,E] fp16,
+        [V,L], [V,P], [V,P]).
+        """
+        if dtype is None:
+            import ml_dtypes
+
+            dtype = ml_dtypes.bfloat16  # native TPU half type
+        if self._dict_ds is None:
+            self._dict_ds = IndexedDataset(os.path.join(self.data_dir, "dict_embed"))
+        V = self._word_encoder.vocab_size
+        entries = [self._dict_ds[i] for i in range(V)]
+        L = max_gloss or shape_bucket(max(np.asarray(e["key"]).shape[0] for e in entries), 32)
+        P = max_pinyin or shape_bucket(max(len(e["pinyin"]) for e in entries), 8)
+        E = np.asarray(entries[0]["key"]).shape[-1]
+        bank = {
+            "keys": np.zeros((V, L, E), dtype),
+            "key_map": np.zeros((V, L), np.int32),
+            "pinyin": np.zeros((V, P), np.int32),
+            "pinyin_map": np.zeros((V, P), np.int32),
+        }
+        for i, e in enumerate(entries):
+            k = np.asarray(e["key"], np.float32)[:L]
+            bank["keys"][i, : len(k)] = k.astype(dtype)
+            km = np.asarray(e["key_map"], np.int32)[:L]
+            bank["key_map"][i, : len(km)] = km
+            py = np.asarray([self._pinyin_list.index(p) for p in e["pinyin"]], np.int32)[:P]
+            bank["pinyin"][i, : len(py)] = py
+            pm = np.asarray(e["pinyin_map"], np.int32)[:P]
+            bank["pinyin_map"][i, : len(pm)] = pm
+        # pad/BOS/EOS rows: collater convention (datasets._dict_bank)
+        special = [0] + [
+            self._word_encoder.token_to_id[t]
+            for t in ("<BOS>", "<EOS>")
+            if t in self._word_encoder.token_to_id
+        ]
+        for i in special:
+            bank["keys"][i] = 0
+            bank["key_map"][i] = 1
+            bank["pinyin"][i] = 0
+            bank["pinyin_map"][i] = 1
+        return bank
+
     def _dict_bank(self, words: list) -> dict:
         """Assemble per-utterance dict-bank arrays for words[1:-1] (BOS/EOS
         rows become zero pads, key/pinyin maps pad with 1 as the reference
@@ -136,7 +189,11 @@ class TTSBinaryDataset:
             sample["ph2word"] = np.asarray(item["ph2word"], np.int64)[: cfg.get("max_input_tokens", 1550)]
             if "pron_modified" in item:
                 sample["pron_modified"] = np.asarray(item["pron_modified"], np.int64)
-        if self.kind == "dict" and self._word_encoder is not None:
+        if (
+            self.kind == "dict"
+            and self._word_encoder is not None
+            and not cfg.get("use_device_dict_bank")
+        ):
             sample.update(self._dict_bank(item["words"]))
         return sample
 

@@ -115,7 +115,13 @@ class AdversarialTTSTask:
                 return self._train_step_inner(state, batch, rng)
         return self._train_step_inner(state, batch, rng)
 
+    def prepare_batch(self, state, batch):
+        """Hook: tasks may attach state-resident constants (e.g. the device
+        dict bank) to the batch before the loss closures see it."""
+        return batch
+
     def _train_step_inner(self, state, batch, rng):
+        batch = self.prepare_batch(state, batch)
         rng_g, rng_d = jax.random.split(rng)
         step = state["step"]
         adv_on = jnp.logical_and(step >= self.disc_start_steps, self.lambda_adv > 0)
@@ -150,11 +156,15 @@ class AdversarialTTSTask:
         new_state = {
             "params_g": params_g, "params_d": params_d,
             "opt_g": opt_g, "opt_d": opt_d, "step": step + 1,
+            # state-resident constants (device dict bank, ...) pass through
+            # untouched: with donate_argnums=(0,) XLA aliases them in place
+            **{k: v for k, v in state.items() if k.startswith("_const_")},
         }
         metrics = {**g_losses, **d_losses, "total_loss": loss_g, "disc_loss": loss_d}
         return new_state, metrics
 
     def val_step(self, state, batch, rng):
+        batch = self.prepare_batch(state, batch)
         _, (losses, _) = self._gen_losses(
             state["params_g"], state["params_d"], batch, rng, train=False
         )

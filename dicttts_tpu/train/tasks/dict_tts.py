@@ -25,6 +25,16 @@ from dicttts_tpu.train.tasks.adv_base import AdversarialTTSTask
 
 
 def _dict_msg(batch) -> DictMsg:
+    """Per-utterance dict-bank tensors: either pre-collated host arrays or,
+    with the device-resident bank (use_device_dict_bank), an on-device
+    gather of the [V, ...] vocab bank by word id — the bank uploads ONCE
+    and batches carry only word_tokens, replacing the dominant host->device
+    byte volume ([B, Tw, L_k, 768] per step) with an HBM gather."""
+    if "_bank" in batch:
+        bank = batch["_bank"]
+        wt = batch["word_tokens"]
+        keys = bank["keys"][wt].astype(jnp.float32)
+        return DictMsg(keys, keys, bank["key_map"][wt], bank["pinyin"][wt], bank["pinyin_map"][wt])
     return DictMsg(
         batch["keys"], batch["values"], batch["key_map"], batch["pinyin"], batch["pinyin_map"]
     )
@@ -34,6 +44,9 @@ class DictTTSTask(AdversarialTTSTask):
     def __init__(self, cfg, data=None):
         self._init_adv(cfg)
         self.data = data
+        self.use_device_bank = bool(cfg.get("use_device_dict_bank")) and hasattr(
+            data, "ds"
+        ) and hasattr(getattr(data, "ds", None), "device_bank")
         self.mel_loss_spec = L.parse_mel_loss_spec(cfg.get("mel_loss", "ssim:0.5|l1:0.5"))
         self.lambda_kl = cfg.get("lambda_kl", 1.0)
         self.kl_min = cfg.get("kl_min", 0.002)
@@ -83,13 +96,29 @@ class DictTTSTask(AdversarialTTSTask):
             tgt_mels=z((1, Tm, 80)),
         )["params"]
         params_d = self._init_disc_params(r3)
-        return {
+        state = {
             "params_g": params_g,
             "params_d": params_d,
             "opt_g": self.tx_g.init(params_g),
             "opt_d": self.tx_d.init(params_d),
             "step": jnp.zeros((), jnp.int32),
         }
+        if self.use_device_bank:
+            # _const_ prefix: carried through steps untouched (donation
+            # aliases it in place) and excluded from checkpoints
+            state["_const_dict_bank"] = {
+                k: jnp.asarray(v)
+                for k, v in self.data.ds.device_bank(
+                    max_gloss=cfg.get("device_bank_max_gloss"),
+                    max_pinyin=cfg.get("device_bank_max_pinyin"),
+                ).items()
+            }
+        return state
+
+    def prepare_batch(self, state, batch):
+        if "_const_dict_bank" in state:
+            batch = {**batch, "_bank": state["_const_dict_bank"]}
+        return batch
 
     def _gen_losses(self, params_g, params_d, batch, rng, train: bool, adv_w=1.0):
         rngs = {"sample": jax.random.fold_in(rng, 0), "dropout": jax.random.fold_in(rng, 1)}
@@ -228,10 +257,12 @@ class DictTTSTask(AdversarialTTSTask):
     def test_step(self, state, batch, rng):
         """Inference: predicted durations, sampled prior, argmax pinyin ids
         for PER scoring (reference dict_tts.py:294-311)."""
+        batch = self.prepare_batch(state, batch)
+        dm = _dict_msg(batch)
         out = self.model.apply(
             {"params": state["params_g"]},
             batch["word_tokens"],
-            _dict_msg(batch),
+            dm,
             batch.get("pron_modified"),
             spk_ids=batch.get("spk_ids"),
             infer=True,
@@ -243,8 +274,8 @@ class DictTTSTask(AdversarialTTSTask):
         # — the (initial, final) pair of the winning sense (every sense
         # contributes exactly 2 pinyin tokens, binarizer invariant)
         pron_idx = jnp.argmax(out["pron_attn"], axis=-1)  # [B, Tw]
-        idx2 = jnp.stack([pron_idx, jnp.minimum(pron_idx + 1, batch["pinyin"].shape[2] - 1)], -1)
-        pinyin_ids = jnp.take_along_axis(batch["pinyin"], idx2, axis=2)  # [B, Tw, 2]
+        idx2 = jnp.stack([pron_idx, jnp.minimum(pron_idx + 1, dm.pinyin.shape[2] - 1)], -1)
+        pinyin_ids = jnp.take_along_axis(dm.pinyin, idx2, axis=2)  # [B, Tw, 2]
         return {
             "mel_out": out["mel_out"],
             "mel2word": out["mel2word"],

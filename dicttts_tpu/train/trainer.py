@@ -115,7 +115,9 @@ class Trainer:
         # resume from the newest checkpoint if present
         last = get_last_checkpoint(self.work_dir) if self.work_dir else None
         if last:
-            self.global_step, state = restore_checkpoint(last, state)
+            consts = {k: v for k, v in state.items() if k.startswith("_const_")}
+            self.global_step, restored = restore_checkpoint(last, _strip_consts(state))
+            state = {**restored, **consts}
             best = read_extras(last).get("best_val")
             if best is not None:
                 self.best_val = float(best)
@@ -214,7 +216,9 @@ class Trainer:
             state = task.build_state(rng)
             last = get_last_checkpoint(self.work_dir)
             if last:
-                self.global_step, state = restore_checkpoint(last, state)
+                consts = {k: v for k, v in state.items() if k.startswith("_const_")}
+                self.global_step, restored = restore_checkpoint(last, _strip_consts(state))
+                state = {**restored, **consts}
         state = replicate_state(state, self.mesh)
         infer_step = jax.jit(task.test_step)
         rng = jax.random.PRNGKey(self.seed + 1)
@@ -281,6 +285,10 @@ class Trainer:
         better = monitored < self.best_val if self.monitor_mode == "min" else monitored > self.best_val
         if better:
             self.best_val = monitored
+        # '_const_' entries (device dict bank, ...) are derived data: exclude
+        # them BEFORE device_get so checkpoints stay small and no multi-GB
+        # device->host pull happens per save
+        state = _strip_consts(state)
         host_state = jax.device_get(state)
         save_checkpoint(
             self.work_dir,
@@ -290,6 +298,14 @@ class Trainer:
             is_best=self.save_best and better,
             extra={"best_val": float(self.best_val)},
         )
+
+
+def _strip_consts(state):
+    """Drop '_const_'-prefixed state entries (task-attached device constants
+    like the dict bank) — not model state, never checkpointed."""
+    if isinstance(state, dict):
+        return {k: v for k, v in state.items() if not k.startswith("_const_")}
+    return state
 
 
 def repeat_batches(make_iter) -> Iterator:

@@ -1,0 +1,139 @@
+"""Device-resident dictionary bank: the [V, L, 768] vocab bank lives in
+train-state (uploaded once, donation-aliased through steps, excluded from
+checkpoints) and the jitted step gathers rows by word id — batches carry
+only word_tokens. Outputs must match the per-batch host-collated bank path
+(up to the bank's bf16 storage)."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from dicttts_tpu.data.datasets import TTSBatchProvider, TTSBinaryDataset
+from dicttts_tpu.text.binarizer import PreAlign, ZhBinarizer
+from dicttts_tpu.train.tasks.dict_tts import DictTTSTask
+from dicttts_tpu.vocoders.hifigan import save_wav
+
+TOY_DICT = {
+    "你": {"nǐ": ["代词。称对方。"]},
+    "好": {"hǎo": ["优点多的。"], "hào": ["喜爱。"]},
+    "天": {"tiān": ["日。"]},
+    "气": {"qì": ["流体。"]},
+}
+
+MODEL_CFG = dict(
+    max_frames=256, max_tokens=4000, max_sentences=4, use_pitch_embed=False,
+    hidden_size=16, num_heads=2, enc_ffn_kernel_size=3, dropout=0.0,
+    latent_size=4, fvae_enc_dec_hidden=16, fvae_enc_n_layers=1, fvae_dec_n_layers=1,
+    prior_glow_hidden=8, prior_glow_n_blocks=1, mel_disc_hidden_size=8,
+    disc_win_num=1, warmup_updates=10, mel_loss="l1:1.0", dur_predictor_layers=2,
+    frames_multiple=4, mel_buckets=[128, 256], txt_buckets=[16],
+    value_embedding_size=30,
+)
+
+
+class _ToyPreAlign(PreAlign):
+    def meta_data(self):
+        raw = self.cfg["raw_data_dir"]
+        for name, text in [("a1", "你好"), ("a2", "天气"), ("a3", "你好天气"),
+                           ("a4", "好天气"), ("a5", "天气你好"), ("a6", "好你天气")]:
+            yield name, os.path.join(raw, f"{name}.wav"), text
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("devbank")
+    raw = root / "raw"
+    raw.mkdir()
+    dict_path = str(root / "zh-dict.json")
+    json.dump(TOY_DICT, open(dict_path, "w"), ensure_ascii=False)
+    for i, name in enumerate(["a1", "a2", "a3", "a4", "a5", "a6"]):
+        t = np.arange(int(22050 * 0.9)) / 22050
+        save_wav(str(raw / f"{name}.wav"), (0.3 * np.sin(2 * np.pi * (180 + 10 * i) * t)).astype(np.float32))
+    cfg = {
+        "raw_data_dir": str(raw),
+        "processed_data_dir": str(root / "processed"),
+        "binary_data_dir": str(root / "binary"),
+        "dict_path": dict_path,
+        "word_size": 50,
+        "dict_embed_dim": 16,
+        "test_num": 1,
+        "valid_num": 1,
+        "use_dict": True,
+    }
+    _ToyPreAlign(cfg).process()
+    ZhBinarizer(cfg).process()
+    return cfg
+
+
+def _task_and_batch(corpus, device_bank: bool):
+    cfg = dict(corpus, **MODEL_CFG, use_device_dict_bank=device_bank)
+    ds = TTSBinaryDataset(cfg["binary_data_dir"], "train", cfg, kind="dict")
+    provider = TTSBatchProvider(ds, cfg, shuffle=False)
+    task = DictTTSTask(cfg, provider)
+    batch = next(iter(provider.train_batches()))
+    batch.pop("_meta")
+    return task, batch
+
+
+def test_bank_batches_carry_no_dict_tensors(corpus):
+    _, batch_host = _task_and_batch(corpus, device_bank=False)
+    _, batch_bank = _task_and_batch(corpus, device_bank=True)
+    assert "keys" in batch_host and "keys" not in batch_bank
+    for k in ("values", "key_map", "pinyin", "pinyin_map"):
+        assert k not in batch_bank
+    # per-batch byte volume shrinks by exactly the dict-bank tensors (at the
+    # real E=768 that is the dominant term; toy E=16 here)
+    host_bytes = sum(np.asarray(v).nbytes for v in batch_host.values())
+    bank_bytes = sum(np.asarray(v).nbytes for v in batch_bank.values())
+    dict_bytes = sum(
+        np.asarray(batch_host[k]).nbytes
+        for k in ("keys", "values", "key_map", "pinyin", "pinyin_map")
+    )
+    assert bank_bytes == host_bytes - dict_bytes
+
+
+def test_device_bank_matches_host_bank_path(corpus):
+    task_h, batch_h = _task_and_batch(corpus, device_bank=False)
+    task_b, batch_b = _task_and_batch(corpus, device_bank=True)
+    state_h = task_h.build_state(jax.random.PRNGKey(0))
+    state_b = task_b.build_state(jax.random.PRNGKey(0))
+    assert "_const_dict_bank" in state_b and "_const_dict_bank" not in state_h
+    # identical params (same rng); identical batch modulo the bank tensors
+    out_h = jax.device_get(jax.jit(task_h.test_step)(state_h, batch_h, jax.random.PRNGKey(2)))
+    out_b = jax.device_get(jax.jit(task_b.test_step)(state_b, batch_b, jax.random.PRNGKey(2)))
+    assert (out_h["pinyin_pred"] == out_b["pinyin_pred"]).all()
+    # bf16 bank storage: mel agreement within half-precision tolerance
+    np.testing.assert_allclose(out_h["mel_out"], out_b["mel_out"], atol=2e-2)
+
+    st_h, m_h = jax.jit(task_h.train_step)(state_h, batch_h, jax.random.PRNGKey(3))
+    st_b, m_b = jax.jit(task_b.train_step)(state_b, batch_b, jax.random.PRNGKey(3))
+    m_h, m_b = jax.device_get(m_h), jax.device_get(m_b)
+    assert abs(float(m_h["total_loss"]) - float(m_b["total_loss"])) < 2e-2
+    # the bank rides through the step untouched
+    for k, v in st_b["_const_dict_bank"].items():
+        np.testing.assert_array_equal(
+            np.asarray(v), np.asarray(state_b["_const_dict_bank"][k])
+        )
+
+
+def test_trainer_checkpoints_exclude_bank(corpus, tmp_path):
+    from dicttts_tpu.train.trainer import Trainer
+    from dicttts_tpu.utils.checkpoint import get_last_checkpoint
+
+    task, _ = _task_and_batch(corpus, device_bank=True)
+    wd = str(tmp_path / "wd")
+    trainer = Trainer(work_dir=wd, max_updates=2, val_check_interval=10**9,
+                      num_sanity_val_steps=0, tb_log_interval=10**9, eval_max_batches=1)
+    trainer.fit(task)
+    ckpt = get_last_checkpoint(wd)
+    assert ckpt is not None
+    data = open(ckpt, "rb").read()
+    assert b"_const_dict_bank" not in data
+    # resume path reattaches the bank
+    trainer2 = Trainer(work_dir=wd, max_updates=3, val_check_interval=10**9,
+                       num_sanity_val_steps=0, tb_log_interval=10**9, eval_max_batches=1)
+    state = trainer2.fit(task)
+    assert "_const_dict_bank" in state
