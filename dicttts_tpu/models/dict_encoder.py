@@ -60,6 +60,54 @@ def sense_remap(weights: jnp.ndarray, key_map: jnp.ndarray, pinyin_map: jnp.ndar
     return jnp.einsum("btl,btlp->btp", weights, same_sense.astype(weights.dtype))
 
 
+def gumbel_softmax(logits: jnp.ndarray, temperature: float, hard: bool, rng: Optional[jax.Array]) -> jnp.ndarray:
+    """Straight-through Gumbel softmax (reference layers/utils.py:79-107).
+
+    rng=None skips the Gumbel noise (deterministic eval: plain softmax, plus
+    the ST hard one-hot when hard=True)."""
+    y = logits
+    if rng is not None:
+        y = y + jax.random.gumbel(rng, logits.shape, logits.dtype)
+    y_soft = jax.nn.softmax(y / temperature, axis=-1)
+    if not hard:
+        return y_soft
+    y_hard = jax.nn.one_hot(jnp.argmax(y_soft, -1), logits.shape[-1], dtype=logits.dtype)
+    return y_soft + jax.lax.stop_gradient(y_hard - y_soft)
+
+
+def sense_remap_grouped(
+    weights: jnp.ndarray,
+    key_map: jnp.ndarray,
+    pinyin_map: jnp.ndarray,
+    max_senses: int,
+    mode: str = "sense",
+    temperature: float = 0.8,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Sense-grouped remap — the reference's Gumbel variant
+    (mask_weights_attn_gumbel, layers/utils.py:60-77): gloss-token attention
+    is first SUMMED per sense id, renormalized over senses (softmax, or
+    straight-through Gumbel softmax for the unreleased hard variant,
+    readme.md:135-138), then broadcast onto each sense's pinyin positions.
+
+    The reference loops python-side over ``key_map.max()`` sense ids; here
+    both the merge and the broadcast are one-hot einsum contractions over a
+    STATIC ``max_senses`` axis (sense ids are 1-based; id 0 = pad).
+    """
+    sense_ids = jnp.arange(1, max_senses + 1)
+    key_oh = (key_map[..., None] == sense_ids).astype(weights.dtype)  # [B,T,L,S]
+    merged = jnp.einsum("btl,btls->bts", weights, key_oh)
+    has_sense = jnp.einsum("btls->bts", key_oh) > 0
+    logits = jnp.where(has_sense, merged, S2PA_MASK_VALUE)
+    if mode == "gumbel":
+        sel = gumbel_softmax(logits, temperature, hard=True, rng=rng)
+    else:  # 'sense' — the reference's shipped line: merge_value.softmax(-1)
+        sel = jax.nn.softmax(logits, axis=-1)
+    sel = sel * has_sense.astype(weights.dtype)
+    pin_oh = (pinyin_map[..., None] == sense_ids).astype(weights.dtype)  # [B,T,P,S]
+    return jnp.einsum("bts,btps->btp", sel, pin_oh)
+
+
 def apply_pron_rule(pron_weights: jnp.ndarray, pinyin_map: jnp.ndarray, pron_modified: jnp.ndarray) -> jnp.ndarray:
     """Straight-through hard override of rows with a forced pronunciation.
 
@@ -86,6 +134,11 @@ class S2PAAttention(nn.Module):
     pinyin_vocab: int = 185  # value_embedding_size
     dropout_rate: float = 0.1
     use_pallas: bool = False
+    # 'token' = released model (token-mass remap); 'sense'/'gumbel' = the
+    # sense-grouped softmax / ST-Gumbel variants (layers/utils.py:60-107)
+    sense_mode: str = "token"
+    gumbel_temperature: float = 0.8
+    max_senses: int = 10
 
     @nn.compact
     def __call__(
@@ -104,7 +157,7 @@ class S2PAAttention(nn.Module):
         # reference parity: scale by key_size^-0.5 (not query size)
         q = q * self.key_size**-0.5
 
-        if self.use_pallas and deterministic:
+        if self.use_pallas and deterministic and self.sense_mode == "token":
             from dicttts_tpu.ops.s2pa_pallas import pad_dict_msg, s2pa_fused
 
             L, P = key_map.shape[-1], pinyin_map.shape[-1]
@@ -119,7 +172,20 @@ class S2PAAttention(nn.Module):
             align = weights  # attention over gloss tokens, for diagnostics
             weights_d = nn.Dropout(self.dropout_rate)(weights, deterministic=deterministic)
             context = jnp.einsum("btl,btlh->bth", weights_d, v)
-            pron_weights = sense_remap(weights_d, key_map, pinyin_map)
+            if self.sense_mode == "token":
+                pron_weights = sense_remap(weights_d, key_map, pinyin_map)
+            else:
+                # Gumbel noise rides the existing 'dropout' stream so training
+                # steps need no extra rng plumbing; eval is noise-free.
+                rng = (
+                    self.make_rng("dropout")
+                    if self.sense_mode == "gumbel" and not deterministic
+                    else None
+                )
+                pron_weights = sense_remap_grouped(
+                    weights_d, key_map, pinyin_map, self.max_senses,
+                    mode=self.sense_mode, temperature=self.gumbel_temperature, rng=rng,
+                )
         context = nn.Dense(H, use_bias=False, name="out")(context)
 
         # pronunciation head
@@ -149,6 +215,7 @@ class S2PATextEncoder(nn.Module):
     n_layers: int = 4
     pinyin_vocab: int = 185
     use_pallas: bool = False
+    sense_mode: str = "token"
 
     @nn.compact
     def __call__(
@@ -169,7 +236,7 @@ class S2PATextEncoder(nn.Module):
         )(x, x_mask, deterministic)
         context, dict_attn, pron, pron_align = S2PAAttention(
             H, pinyin_vocab=self.pinyin_vocab, dropout_rate=self.p_dropout,
-            use_pallas=self.use_pallas, name="s2pa"
+            use_pallas=self.use_pallas, sense_mode=self.sense_mode, name="s2pa"
         )(x, dict_msg, pron_modified, deterministic)
         context = context * x_mask
         x = context + pron
@@ -190,6 +257,7 @@ class DictEncoder(nn.Module):
     dropout: float = 0.0
     pinyin_vocab: int = 185
     use_pallas: bool = False
+    sense_mode: str = "token"
 
     @nn.compact
     def __call__(self, word_tokens, dict_msg, pron_modified=None, deterministic: bool = True):
@@ -203,6 +271,7 @@ class DictEncoder(nn.Module):
             self.dropout,
             pinyin_vocab=self.pinyin_vocab,
             use_pallas=self.use_pallas,
+            sense_mode=self.sense_mode,
             name="s2pa_module",
         )(word_tokens, dict_msg, pron_modified, deterministic)
         return x * nonpadding, dict_attn, pron_attn, context

@@ -58,6 +58,8 @@ class DictTTS(nn.Module):
     # speaker conditioning
     num_spk: int = 0  # 0 = single speaker
     use_pallas_s2pa: bool = False
+    # 'token' (released) | 'sense' | 'gumbel' — see dict_encoder.sense_remap_grouped
+    s2pa_sense_mode: str = "token"
 
     def setup(self):
         self.dict_encoder = DictEncoder(
@@ -68,6 +70,7 @@ class DictTTS(nn.Module):
             self.dropout,
             self.pinyin_vocab,
             self.use_pallas_s2pa,
+            self.s2pa_sense_mode,
         )
         self.dur_predictor = DurationPredictor(
             n_chans=self.dur_predictor_chans,

@@ -62,6 +62,38 @@ class Disc2DBlockStack(nn.Module):
         return validity, feats
 
 
+class JCUDiscriminator(nn.Module):
+    """Joint conditional/unconditional discriminator.
+
+    Capability parity with the reference JCU_Discriminator
+    (/root/reference/modules/fastspeech/disc_modules.py:6-61): a mel branch
+    (reflect-pad stride-2 conv + two k5 convs), a condition branch
+    (reflect-pad stride-2 conv), and two heads — conditional (on the
+    concatenated features) and unconditional (mel features only). Feature-last
+    [B, T, C]; weight norm folded by design (repo convention). NB the
+    reference returns ``{'y_c': uncond, 'y': cond}`` — key names kept.
+    """
+
+    c_base: int = 128
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, cond: jnp.ndarray):
+        def refl_stride2(h, name):
+            h = jnp.pad(h, ((0, 0), (2, 2), (0, 0)), mode="reflect")
+            return nn.Conv(self.c_base, (5,), strides=(2,), padding="VALID", name=name)(h)
+
+        c = nn.leaky_relu(refl_stride2(cond, "cond_conv"), 0.2)
+        h = nn.leaky_relu(refl_stride2(x, "x_conv_0"), 0.2)
+        h = nn.leaky_relu(nn.Conv(self.c_base, (5,), padding=2, name="x_conv_1")(h), 0.2)
+        h = nn.leaky_relu(nn.Conv(self.c_base, (5,), padding=2, name="x_conv_2")(h), 0.2)
+        joint = jnp.concatenate([c, h], axis=-1)
+        yc = nn.leaky_relu(nn.Conv(self.c_base, (5,), padding=2, name="cond_head_0")(joint), 0.2)
+        yc = nn.Conv(1, (3,), padding=1, name="cond_head_1")(yc)
+        yu = nn.leaky_relu(nn.Conv(self.c_base, (5,), padding=2, name="x_head_0")(h), 0.2)
+        yu = nn.Conv(1, (3,), padding=1, name="x_head_1")(yu)
+        return {"y_c": yu, "y": yc}
+
+
 class MultiWindowDiscriminator(nn.Module):
     time_lengths: Sequence[int] = (32, 64, 128)
     freq_length: int = 80

@@ -75,6 +75,7 @@ class DictTTSTask(AdversarialTTSTask):
             prior_flow_n_blocks=cfg.get("prior_glow_n_blocks", 4),
             num_spk=cfg.get("num_spk", 0) if cfg.get("use_spk_id") else 0,
             use_pallas_s2pa=cfg.get("use_pallas_s2pa", False),
+            s2pa_sense_mode=cfg.get("s2pa_sense_mode", "token"),
         )
 
     def build_state(self, rng) -> dict:
