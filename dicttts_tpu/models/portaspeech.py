@@ -66,6 +66,20 @@ class PortaSpeech(nn.Module):
     prior_flow_kernel_size: int = 3
     prior_flow_n_blocks: int = 4
     num_spk: int = 0
+    # post-net glow (reference model.py:186-205 + run_post_glow :326-357;
+    # upstream's import of it is broken — models/post_glow.py is a WORKING
+    # implementation). Config names follow egs_bases/tts/ps_flow.yaml:37-65.
+    use_post_glow: bool = False
+    post_glow_hidden: int = 192
+    post_glow_kernel_size: int = 3
+    post_glow_n_blocks: int = 12
+    post_glow_n_block_layers: int = 3
+    share_wn_layers: int = 4
+    sigmoid_scale: bool = False
+    use_txt_cond: bool = True
+    detach_postflow_input: bool = True
+    infer_post_glow: bool = True
+    post_noise_scale: float = 0.8
 
     def setup(self):
         H = self.hidden_size
@@ -103,6 +117,22 @@ class PortaSpeech(nn.Module):
         )
         if self.num_spk > 0:
             self.spk_embed_proj = nn.Embed(self.num_spk, H)
+        if self.use_post_glow:
+            from dicttts_tpu.models.post_glow import Glow
+
+            cond_hs = self.out_dims + (H if self.use_txt_cond else 0)
+            self.post_flow = Glow(
+                in_channels=self.out_dims,
+                hidden_channels=self.post_glow_hidden,
+                kernel_size=self.post_glow_kernel_size,
+                n_blocks=self.post_glow_n_blocks,
+                n_block_layers=self.post_glow_n_block_layers,
+                n_split=4,
+                n_sqz=2,
+                gin_channels=cond_hs,
+                share_wn_layers=self.share_wn_layers,
+                sigmoid_scale=self.sigmoid_scale,
+            )
 
     def _word_frame_attention(self, ph_enc, word_enc, ph2word, mel2word, word2word):
         """Single-head word-to-frame attention (reference model.py:254-288)."""
@@ -181,4 +211,41 @@ class PortaSpeech(nn.Module):
                 x=tgt_mels, x_mask=tgt_nonpadding, g=x, deterministic=deterministic
             )
         ret["mel_out"] = ret["mel_out_fvae"] = mel_out * tgt_nonpadding
+
+        if self.use_post_glow:
+            self._run_post_glow(ret, tgt_nonpadding, tgt_mels, infer, deterministic)
         return ret
+
+    def _run_post_glow(self, ret, tgt_nonpadding, tgt_mels, infer, deterministic):
+        """Post-net glow (reference run_post_glow, model.py:326-357,
+        res_mode=0 / use_g_proj=false as shipped): condition on the FVAE
+        reconstruction (+ text encoding), train by exact NLL of the target
+        mel, sample at inference by inverting noise."""
+        import math as _math
+
+        g = ret["mel_out_fvae"]
+        if self.use_txt_cond:
+            g = jnp.concatenate([g, ret["decoder_inp"]], axis=-1)
+        if self.detach_postflow_input:
+            g = jax.lax.stop_gradient(g)
+        if not infer:
+            z, ldj = self.post_flow(
+                tgt_mels, tgt_nonpadding, g, deterministic=deterministic
+            )
+            frames = jnp.maximum(jnp.sum(tgt_nonpadding, axis=(1, 2)), 1.0)
+            ldj = ldj / frames / self.out_dims
+            ret["z_pf"], ret["ldj_pf"] = z, ldj
+            # -N(0,1).log_prob(z).mean() - ldj.mean()  (model.py:350)
+            ret["postflow"] = (
+                0.5 * jnp.mean(jnp.square(z)) + 0.5 * _math.log(2 * _math.pi)
+                - jnp.mean(ldj)
+            )
+        elif self.infer_post_glow:
+            z = (
+                jax.random.normal(self.make_rng("sample"), ret["mel_out"].shape)
+                * self.post_noise_scale
+            )
+            mel_post, _ = self.post_flow(
+                z, jnp.ones_like(ret["mel_out"][..., :1]), g, reverse=True
+            )
+            ret["mel_out"] = mel_post * tgt_nonpadding
