@@ -40,3 +40,42 @@ def spectral_speaker_stats(mel: np.ndarray, f0: np.ndarray | None = None, dim: i
     x = x[:dim]
     n = np.linalg.norm(x)
     return (x / n if n > 0 else x).astype(np.float32)
+
+
+_GE2E_CACHE: dict = {}
+
+
+def speaker_embed(mel: np.ndarray, f0: np.ndarray | None, cfg: dict) -> np.ndarray:
+    """Per-utterance speaker embedding (reference base_binarizer.py:156-167).
+
+    cfg['spk_encoder_ckpt'] set -> GE2E voice encoder
+    (models/speaker_encoder.py: Resemblyzer architecture, torch-parity
+    converter; the mel fed is the corpus' own 80-bin mel — consistent
+    within a corpus, which is all speaker conditioning needs). Otherwise
+    the deterministic spectral-stats stand-in."""
+    ckpt = cfg.get("spk_encoder_ckpt")
+    if ckpt:
+        if ckpt not in _GE2E_CACHE:
+            from dicttts_tpu.models.speaker_encoder import (
+                convert_resemblyzer_state,
+            )
+
+            try:
+                import torch
+
+                payload = torch.load(ckpt, map_location="cpu", weights_only=False)
+                sd = payload.get("model_state", payload)
+                sd = {k: (v.numpy() if hasattr(v, "numpy") else v) for k, v in sd.items()}
+                _GE2E_CACHE[ckpt] = convert_resemblyzer_state(sd)
+            except Exception:
+                _GE2E_CACHE[ckpt] = None
+        params = _GE2E_CACHE[ckpt]
+        if params is not None:
+            from dicttts_tpu.models.speaker_encoder import embed_utterance
+
+            mel_n = params["lstm_0"]["ii"]["kernel"].shape[0]
+            m = mel[:, :mel_n] if mel.shape[1] >= mel_n else np.pad(
+                mel, ((0, 0), (0, mel_n - mel.shape[1]))
+            )
+            return embed_utterance(params, np.asarray(m, np.float32))
+    return spectral_speaker_stats(mel, f0)

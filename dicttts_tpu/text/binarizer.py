@@ -285,9 +285,9 @@ class ZhBinarizer:
             "sec": len(wav) / sr,
         }
         if self.cfg.get("with_spk_embed"):
-            from dicttts_tpu.ops.speaker import spectral_speaker_stats
+            from dicttts_tpu.ops.speaker import speaker_embed
 
-            item["spk_embed"] = spectral_speaker_stats(mel, f0)
+            item["spk_embed"] = speaker_embed(mel, f0, self.cfg)
         if self.cfg.get("with_f0cwt"):
             from dicttts_tpu.ops.cwt import f0_cwt
 
