@@ -186,7 +186,13 @@ def main():
 
     rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}
     params = model.init(rngs, words, dm, pron_mod, mel2word=mel2word, tgt_mels=mels0)["params"]
-    voc_params = voc.init(jax.random.PRNGKey(2), mels0)["params"]
+    # vocoder serving precision: bf16 activations+weights at dispatch
+    # (vocoder_infer_dtype config; rms deviation vs f32 ~1.5% of signal rms,
+    # tests/test_hifigan.py::test_bf16_inference_close_to_f32) — the late
+    # stages are HBM-bandwidth-bound, bf16 halves that traffic.
+    voc_params = jax.tree.map(
+        lambda p: p.astype(jnp.bfloat16), voc.init(jax.random.PRNGKey(2), mels0)["params"]
+    )
 
     @jax.jit
     def chain(params, voc_params, key):
@@ -197,8 +203,8 @@ def main():
                     {"params": params}, words, dm, pron_mod, infer=True,
                     max_frames=MAX_FRAMES, rngs={"sample": k},
                 )["mel_out"]
-                wav = voc.apply({"params": voc_params}, mel)
-            return jnp.sum(wav) + carry, None  # data dependency between iters
+                wav = voc.apply({"params": voc_params}, mel.astype(jnp.bfloat16))
+            return jnp.sum(wav).astype(jnp.float32) + carry, None  # data dependency between iters
         out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=N_CHAIN)
         return out
 
@@ -239,8 +245,8 @@ def main():
                     {"params": params}, words_b, dm_b, pron_b, infer=True,
                     max_frames=MAX_FRAMES, rngs={"sample": k},
                 )["mel_out"]
-                wav = voc.apply({"params": voc_params}, mel)
-            return jnp.sum(wav) + carry, None
+                wav = voc.apply({"params": voc_params}, mel.astype(jnp.bfloat16))
+            return jnp.sum(wav).astype(jnp.float32) + carry, None
         out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=N_CHAIN)
         return out
 
@@ -264,6 +270,7 @@ def main():
             "audio_secs_per_utt": round(audio_secs, 3),
             "host_roundtrip_ms": round(rtt * 1000, 2),
             "chain_n": N_CHAIN,
+            "vocoder_dtype": "bfloat16",
             "batched_infer_batch": BB,
             "batched_infer_rtf_per_chip": round(per_batch / (audio_secs * BB), 7),
             "batched_infer_mel_frames_per_sec": round(MAX_FRAMES * BB / per_batch, 1),

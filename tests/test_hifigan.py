@@ -135,3 +135,19 @@ def test_fold_lanes_exact_equivalence():
     y2 = g_plain.apply(params, mel)  # same param tree
     assert y1.shape == y2.shape == (2, 16 * 64)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=3e-6)
+
+
+def test_bf16_inference_close_to_f32():
+    """vocoder_infer_dtype='bfloat16' (serving fast path) must track the f32
+    output within a small fraction of the signal rms, and share weights
+    (same init) with the f32 instance."""
+    cfg = {"hop_size": 256, **{k: v for k, v in TINY_GEN.items() if k != "resblock_dilation_sizes"}}
+    voc32 = HifiGanVocoder(cfg)
+    voc16 = HifiGanVocoder({**cfg, "vocoder_infer_dtype": "bfloat16"}, params=voc32.params)
+    mel = (np.random.RandomState(0).randn(24, 80) * 1.5 - 5.5).astype(np.float32)
+    w32 = voc32.spec2wav(mel)
+    w16 = voc16.spec2wav(mel)
+    assert w16.dtype == np.float32 and w16.shape == w32.shape
+    rms_sig = np.sqrt((w32**2).mean())
+    rms_err = np.sqrt(((w16 - w32) ** 2).mean())
+    assert rms_err < 0.05 * rms_sig, (rms_err, rms_sig)
