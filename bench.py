@@ -121,30 +121,25 @@ def _bench_trainer(bdir: str) -> dict:
     provider = TTSBatchProvider(ds, cfg, shuffle=True)
     task = DictTTSTask(cfg, provider)
 
-    def run(n_steps: int) -> float:
-        trainer = Trainer(
-            work_dir="", max_updates=n_steps, val_check_interval=10**9,
-            num_sanity_val_steps=0, steps_per_dispatch=8, tb_log_interval=10**9,
-            eval_max_batches=1,
-        )
-        t0 = time.perf_counter()
-        trainer.fit(task)
-        return time.perf_counter() - t0
-
-    # every fit() re-traces its jits, so time TWO runs of different length
-    # and difference them: tracing + cached-compile + fixed overhead cancel,
-    # the data pipeline + dispatch + device time per step remain.
-    run(8)  # populate the persistent compile cache
-    n_short, n_long = 40, 160
-    wall_short = run(n_short)
-    wall_long = run(n_long)
-    per_step = max((wall_long - wall_short) / (n_long - n_short), 1e-9)
+    # steady-state timing inside ONE run: the Trainer syncs after the first
+    # dispatch (absorbing tracing + compile/cache-load + initial transfer)
+    # and again at loop exit (draining the pipelined device queue), then
+    # reports steady_per_step_s. The previous two-run differencing was
+    # unsound here: the fixed costs it tried to cancel (~minutes of init +
+    # compile-cache loads through the relay) vary by tens of seconds
+    # between runs, swamping the ~50 ms/step signal.
+    trainer = Trainer(
+        work_dir="", max_updates=160, val_check_interval=10**9,
+        num_sanity_val_steps=0, steps_per_dispatch=8, tb_log_interval=10**9,
+        eval_max_batches=1,
+    )
+    trainer.fit(task)
+    per_step = max(trainer.steady_per_step_s or 0.0, 1e-9)
     return {
         "train_steps_per_sec_real_data": round(1.0 / per_step, 2),
         "train_step_ms_real_data": round(per_step * 1000, 2),
         "train_batch_sentences": 8,
         "train_bucket_frames": 512,
-        "train_fixed_overhead_s": round(wall_short - n_short * per_step, 2),
     }
 
 

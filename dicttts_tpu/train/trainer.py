@@ -159,7 +159,16 @@ class Trainer:
                 metrics = jax.tree.map(lambda x: x[-1], metrics)
             return state, metrics, rng
 
+        # throughput accounting: the first dispatch absorbs tracing, the
+        # compile (or compile-cache load) and the initial transfer, so the
+        # clock restarts after it with an explicit host-pull sync (this
+        # environment's block_until_ready returns early — CLAUDE.md); the
+        # loop-exit sync charges the remaining device queue, making
+        # `steady_per_step_s` an honest pipelined steps/s over ONE run —
+        # no cross-run differencing needed (bench.py).
         t_start, steps_done = time.time(), 0
+        synced_once = False
+        self.steady_per_step_s = None
         group: list = []
         while self.global_step < self.max_updates:
             for batch in task.train_batches():
@@ -188,6 +197,10 @@ class Trainer:
                 self.global_step += n_ran
                 steps_done += n_ran
                 group = requeue
+                if not synced_once:
+                    jax.device_get(jax.tree.leaves(metrics)[0])  # sync
+                    synced_once = True
+                    t_start, steps_done = time.time(), 0
                 # log once per interval (group steps may jump past the mark)
                 if self.global_step % self.tb_log_interval < n_ran:
                     metrics = jax.device_get(metrics)
@@ -205,6 +218,9 @@ class Trainer:
                     val_metrics = self._evaluate(task, state, val_step, rng)
                     self._save(state, val_metrics)
                     self._log_artifacts(task, state, rng)
+        if synced_once and steps_done > 0:
+            jax.device_get(jax.tree.leaves(metrics)[0])  # drain the queue
+            self.steady_per_step_s = (time.time() - t_start) / steps_done
         # final checkpoint
         self._save(state, self._evaluate(task, state, val_step, rng))
         return state
