@@ -32,6 +32,40 @@ def test_ssim_identical_is_zero():
     assert float(L.ssim_loss(y, x)) > 0.01
 
 
+def test_ssim_banded_matmul_matches_conv2d():
+    """The MXU-friendly SSIM blur (banded Toeplitz matmuls) must be an
+    exact transform of the SAME-padded single-channel 11x11 conv2d."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    x1 = jnp.asarray(rng.rand(2, 37, 80).astype(np.float32) * 8.0)
+    x2 = jnp.asarray(rng.rand(2, 37, 80).astype(np.float32) * 8.0)
+
+    win = jnp.asarray(L._gaussian_window(11))[:, :, None, None]
+
+    def conv2d(x):
+        return jax.lax.conv_general_dilated(
+            x[:, :, :, None], win, window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )[:, :, :, 0]
+
+    def ssim_map_conv2d(img1, img2):
+        mu1, mu2 = conv2d(img1), conv2d(img2)
+        mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+        s1 = conv2d(img1 * img1) - mu1_sq
+        s2 = conv2d(img2 * img2) - mu2_sq
+        s12 = conv2d(img1 * img2) - mu12
+        C1, C2 = 0.01**2, 0.03**2
+        return ((2 * mu12 + C1) * (2 * s12 + C2)) / (
+            (mu1_sq + mu2_sq + C1) * (s1 + s2 + C2)
+        )
+
+    got = np.asarray(L._ssim_map(x1, x2))
+    want = np.asarray(ssim_map_conv2d(x1, x2))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
 def test_word_dur_loss_zero_for_exact():
     mel2word = jnp.array([[1, 1, 2, 2, 2, 0]])
     # dur_gt = [2, 3]; log scale target = log(dur+1)
