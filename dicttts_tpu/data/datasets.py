@@ -235,15 +235,32 @@ class TTSBatchProvider:
         t_mel = ((t_mel + fm - 1) // fm) * fm
         # shape_bucket may return its LAST bucket for oversized items — the
         # contract is that the collater truncates to it (data/collate.py)
+        # host->device transfer is the trainer's bottleneck once compute is
+        # optimized: index arrays go as int32, and under the bf16 matmul
+        # policy (amp) the mel goes as float16 — the f16 rounding (2^-11
+        # relative) is below the bf16 compute rounding (2^-8), so upcasting
+        # to f32 on device (adv_base.upcast_transfer_dtypes) loses nothing
+        # while halving the dominant tensor's bytes
+        mel_dtype = (
+            np.float16
+            if cfg.get("mel_transfer_f16", bool(cfg.get("amp")))
+            else np.float32
+        )
         batch = {
-            "txt_tokens": collate_1d([s["txt_tokens"][:t_txt] for s in samples], max_len=t_txt),
-            "mels": collate_2d([s["mels"][:t_mel] for s in samples], max_len=t_mel),
+            "txt_tokens": collate_1d(
+                [s["txt_tokens"][:t_txt] for s in samples], max_len=t_txt, dtype=np.int32
+            ),
+            "mels": collate_2d(
+                [s["mels"][:t_mel] for s in samples], max_len=t_mel
+            ).astype(mel_dtype),
             "mel_lengths": np.asarray([min(int(s["mel_lengths"]), t_mel) for s in samples], np.int32),
             "txt_lengths": np.asarray([min(len(s["txt_tokens"]), t_txt) for s in samples], np.int32),
         }
         for key in ("mel2ph", "mel2word"):
             if key in samples[0]:
-                batch[key] = collate_1d([s[key][:t_mel] for s in samples], max_len=t_mel)
+                batch[key] = collate_1d(
+                    [s[key][:t_mel] for s in samples], max_len=t_mel, dtype=np.int32
+                )
         for key in ("f0", "uv"):
             if key in samples[0]:
                 batch[key] = collate_1d([s[key][:t_mel] for s in samples], max_len=t_mel)
@@ -254,14 +271,18 @@ class TTSBatchProvider:
         ]
         if "word_tokens" in samples[0]:
             t_w = shape_bucket(max(len(s["word_tokens"]) for s in samples), 16, txt_b)
-            batch["word_tokens"] = collate_1d([s["word_tokens"][:t_w] for s in samples], max_len=t_w)
-            batch["ph2word"] = collate_1d([s["ph2word"][:t_txt] for s in samples], max_len=t_txt)
+            batch["word_tokens"] = collate_1d(
+                [s["word_tokens"][:t_w] for s in samples], max_len=t_w, dtype=np.int32
+            )
+            batch["ph2word"] = collate_1d(
+                [s["ph2word"][:t_txt] for s in samples], max_len=t_txt, dtype=np.int32
+            )
             batch["word_lengths"] = np.asarray(
                 [min(int(s["word_lengths"]), t_w) for s in samples], np.int32
             )
             if "pron_modified" in samples[0]:
                 batch["pron_modified"] = collate_1d(
-                    [s["pron_modified"][:t_w] for s in samples], max_len=t_w
+                    [s["pron_modified"][:t_w] for s in samples], max_len=t_w, dtype=np.int32
                 )
             if "keys" in samples[0]:
                 # bucket the gloss (L_k) and pinyin (L_p) axes too — padding
@@ -281,11 +302,11 @@ class TTSBatchProvider:
                     batch[key] = arr.astype(np.float32)
                 batch["key_map"] = collate_nd(
                     [s["key_map"][:t_w, :l_k] for s in samples], max_lens=(t_w, l_k)
-                ).astype(np.int64)
+                ).astype(np.int32)
                 for key in ("pinyin", "pinyin_map"):
                     batch[key] = collate_nd(
                         [s[key][:t_w, :l_p] for s in samples], max_lens=(t_w, l_p)
-                    ).astype(np.int64)
+                    ).astype(np.int32)
         return batch
 
     def _iter(self):

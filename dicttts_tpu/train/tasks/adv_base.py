@@ -22,6 +22,19 @@ def _select_tree(cond, new_tree, old_tree):
     return jax.tree.map(lambda n, o: jnp.where(cond, n, o), new_tree, old_tree)
 
 
+def upcast_transfer_dtypes(batch: dict) -> dict:
+    """Upcast float16 leaves (the collater's reduced-precision transfer
+    format for the mel under the amp policy, data/datasets.py) back to
+    float32 on device — runs inside jit, so it costs one fused cast, not a
+    second transfer."""
+    return {
+        k: v.astype(jnp.float32)
+        if hasattr(v, "dtype") and v.dtype == jnp.float16
+        else v
+        for k, v in batch.items()
+    }
+
+
 class AdversarialTTSTask:
     """Mixin/base: generator + multi-window mel discriminator training."""
 
@@ -117,8 +130,9 @@ class AdversarialTTSTask:
 
     def prepare_batch(self, state, batch):
         """Hook: tasks may attach state-resident constants (e.g. the device
-        dict bank) to the batch before the loss closures see it."""
-        return batch
+        dict bank) to the batch before the loss closures see it. The base
+        implementation upcasts f16 transfer-format leaves to f32."""
+        return upcast_transfer_dtypes(batch)
 
     def _train_step_inner(self, state, batch, rng):
         batch = self.prepare_batch(state, batch)

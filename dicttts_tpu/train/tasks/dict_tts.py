@@ -117,6 +117,7 @@ class DictTTSTask(AdversarialTTSTask):
         return state
 
     def prepare_batch(self, state, batch):
+        batch = super().prepare_batch(state, batch)
         if "_const_dict_bank" in state:
             batch = {**batch, "_bank": state["_const_dict_bank"]}
         return batch

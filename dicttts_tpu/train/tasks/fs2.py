@@ -110,6 +110,9 @@ class FastSpeech2Task:
         return sum(losses.values()), losses
 
     def train_step(self, state, batch, rng):
+        from dicttts_tpu.train.tasks.adv_base import upcast_transfer_dtypes
+
+        batch = upcast_transfer_dtypes(batch)
         (loss, losses), grads = jax.value_and_grad(self._losses, has_aux=True)(
             state["params_g"], batch, rng, True
         )
@@ -119,7 +122,9 @@ class FastSpeech2Task:
         return {"params_g": params, "opt_g": opt, "step": state["step"] + 1}, losses
 
     def val_step(self, state, batch, rng):
-        loss, losses = self._losses(state["params_g"], batch, rng, False)
+        from dicttts_tpu.train.tasks.adv_base import upcast_transfer_dtypes
+
+        loss, losses = self._losses(state["params_g"], upcast_transfer_dtypes(batch), rng, False)
         losses["total_loss"] = loss
         return losses
 
