@@ -70,3 +70,36 @@ def test_group_crossing_interval_still_validates(tmp_path):
     steps = sorted(int(p.split("_")[-1].split(".")[0]) for p in get_all_ckpts(str(tmp_path / "exp2")))
     # the step-6 group crossed the 4-mark; a checkpoint must still exist <= 6
     assert any(s <= 6 for s in steps) and 9 in steps, steps
+
+
+def test_steady_state_throughput_recorded(tmp_path):
+    """steady_per_step_s must be set after >=2 dispatches (the first
+    dispatch absorbs compile and restarts the clock) and be a sane
+    positive per-step wall time."""
+    task = StubTask(shapes=((4, 8), (4, 8)))
+    trainer = Trainer(
+        work_dir=str(tmp_path / "exp3"),
+        max_updates=8,
+        val_check_interval=100,
+        num_sanity_val_steps=0,
+        mesh=make_mesh(1),
+        steps_per_dispatch=2,
+    )
+    trainer.fit(task)
+    assert trainer.steady_per_step_s is not None
+    assert 0 < trainer.steady_per_step_s < 60.0
+
+
+def test_steady_state_none_for_single_dispatch(tmp_path):
+    # one dispatch only: everything is absorbed by the first-dispatch sync
+    task = StubTask(shapes=((4, 8), (4, 8)))
+    trainer = Trainer(
+        work_dir=str(tmp_path / "exp4"),
+        max_updates=2,
+        val_check_interval=100,
+        num_sanity_val_steps=0,
+        mesh=make_mesh(1),
+        steps_per_dispatch=2,
+    )
+    trainer.fit(task)
+    assert trainer.steady_per_step_s is None
