@@ -94,52 +94,101 @@ class DictTTSInferencer:
         out["values"] = out["keys"]
         return out
 
-    def synthesize(self, text: str, seed: int = 0, out_wav: str | None = None):
+    def _prepare(self, text: str) -> dict:
+        """Text -> per-utterance features (unpadded)."""
         norm = self.g2p.preprocess(text)
         chars = list(norm)
         words = ["<BOS>"] + chars + ["<EOS>"]
-        Tw = shape_bucket(len(words), 8)
-        word_tokens = np.zeros((1, Tw), np.int64)
         ids = self.word_encoder.encode(" ".join(words))
-        word_tokens[0, : len(ids)] = ids
-        bank = self._bank_for(chars)
-        batch = {
-            "word_tokens": word_tokens,
-            "pron_modified": np.pad(
-                np.asarray([0] + self.sandhi.process_sandhi(norm, None) + [0], np.int64),
-                (0, Tw - len(words)),
-            )[None],
-            "keys": np.pad(bank["keys"], ((0, Tw - len(words)), (0, 0), (0, 0)))[None],
-            "values": np.pad(bank["values"], ((0, Tw - len(words)), (0, 0), (0, 0)))[None],
-            "key_map": np.pad(bank["key_map"], ((0, Tw - len(words)), (0, 0)))[None],
-            "pinyin": np.pad(bank["pinyin"], ((0, Tw - len(words)), (0, 0)))[None],
-            "pinyin_map": np.pad(bank["pinyin_map"], ((0, Tw - len(words)), (0, 0)))[None],
-        }
-        # profile_infer: per-stage cumulative timers (reference utils.Timer
-        # around encoder/fvae/vocoder, tasks/tts/dict_tts.py:198-209).
-        # Timings here include one host sync each — see bench.py's note on
-        # relay round-trip costs when interpreting absolute numbers.
-        profile = self.cfg.get("profile_infer", False)
-        from dicttts_tpu.eval.metrics import Timer
+        pron = np.asarray([0] + self.sandhi.process_sandhi(norm, None) + [0], np.int32)
+        return {"norm": norm, "chars": chars, "ids": ids, "pron": pron,
+                "bank": self._bank_for(chars)}
 
-        with Timer("acoustic", enable=profile):
-            out = jax.device_get(self._jit_test(self.state, batch, jax.random.PRNGKey(seed)))
-        n_frames = int((out["mel2word"][0] > 0).sum())
-        mel = out["mel_out"][0, :n_frames]
-        with Timer("vocoder", enable=profile):
-            wav = self.vocoder.spec2wav(mel)
-        if profile:
-            print("| profile_infer totals:", {k: round(v, 4) for k, v in Timer.totals.items()})
-        # two tokens per char (reference decode window) merged to syllables
+    def _collate(self, feats: list[dict]) -> dict:
+        """Pad a list of prepared utterances to shared bucket shapes (word,
+        gloss, and pinyin axes all bucketed, so repeated serving calls reuse
+        a small set of compiled graphs)."""
+        B = len(feats)
+        Tw = shape_bucket(max(len(f["ids"]) for f in feats), 8)
+        L = shape_bucket(max(f["bank"]["keys"].shape[1] for f in feats), 8)
+        P = shape_bucket(max(f["bank"]["pinyin"].shape[1] for f in feats), 4)
+        E = feats[0]["bank"]["keys"].shape[-1]
+        batch = {
+            "word_tokens": np.zeros((B, Tw), np.int32),
+            "pron_modified": np.zeros((B, Tw), np.int32),
+            "keys": np.zeros((B, Tw, L, E), np.float32),
+            "key_map": np.zeros((B, Tw, L), np.int32),
+            "pinyin": np.zeros((B, Tw, P), np.int32),
+            "pinyin_map": np.zeros((B, Tw, P), np.int32),
+        }
+        for b, f in enumerate(feats):
+            n = len(f["ids"])
+            bk = f["bank"]
+            batch["word_tokens"][b, :n] = f["ids"]
+            batch["pron_modified"][b, :n] = f["pron"]
+            batch["keys"][b, :n, : bk["keys"].shape[1]] = bk["keys"]
+            batch["key_map"][b, :n, : bk["key_map"].shape[1]] = bk["key_map"]
+            batch["pinyin"][b, :n, : bk["pinyin"].shape[1]] = bk["pinyin"]
+            batch["pinyin_map"][b, :n, : bk["pinyin_map"].shape[1]] = bk["pinyin_map"]
+        batch["values"] = batch["keys"]
+        return batch
+
+    def _decode_pinyin(self, pinyin_pred_row: np.ndarray, n_chars: int) -> str:
+        """argmax 2-token windows -> syllables (reference decode format)."""
         from dicttts_tpu.eval.per import merge_token_pairs
 
         toks = []
-        for pair in out["pinyin_pred"][0, 1 : len(chars) + 1]:
+        for pair in pinyin_pred_row[1 : n_chars + 1]:
             for i in pair:
                 i = int(i)
                 toks.append("<UNK>" if i == 0 else self.pinyin_list[i]
                             if i < len(self.pinyin_list) else "?")
-        pinyin_pred = merge_token_pairs([t for t in toks if t != "<UNK>"])
-        if out_wav:
-            save_wav(out_wav, wav, self.cfg.get("audio_sample_rate", 22050))
-        return wav, {"mel": mel, "pinyin": pinyin_pred, "text": norm, "n_frames": n_frames}
+        return merge_token_pairs([t for t in toks if t != "<UNK>"])
+
+    def synthesize_batch(self, texts: list[str], seed: int = 0,
+                         out_wavs: list[str] | None = None) -> list[tuple]:
+        """Batched serving path: ONE acoustic dispatch + ONE vocoder dispatch
+        for the whole batch (bench.py measures ~1.6x per-chip throughput at
+        B=16 vs B=1). Returns [(wav, info), ...] in input order."""
+        profile = self.cfg.get("profile_infer", False)
+        from dicttts_tpu.eval.metrics import Timer
+
+        feats = [self._prepare(t) for t in texts]
+        batch = self._collate(feats)
+        with Timer("acoustic", enable=profile):
+            out = jax.device_get(self._jit_test(self.state, batch, jax.random.PRNGKey(seed)))
+        n_frames = [int((out["mel2word"][b] > 0).sum()) for b in range(len(feats))]
+        # one batched vocoder dispatch: crop to the longest real length
+        # (don't vocode max_frames of padding) and silence-floor the padded
+        # tails so they cannot bleed into real audio through the receptive
+        # field
+        t_crop = min(shape_bucket(max(n_frames), 64), out["mel_out"].shape[1])
+        mel_b = out["mel_out"][:, :t_crop].copy()
+        for b, n in enumerate(n_frames):
+            mel_b[b, n:] = -6.0
+        with Timer("vocoder", enable=profile):
+            wav_b = self.vocoder.spec2wav(mel_b)
+        if profile:
+            print("| profile_infer totals:", {k: round(v, 4) for k, v in Timer.totals.items()})
+        sr = self.cfg.get("audio_sample_rate", 22050)
+        hop = self.cfg.get("hop_size", 256)
+        results = []
+        for b, f in enumerate(feats):
+            wav = wav_b[b, : n_frames[b] * hop]
+            info = {
+                "mel": out["mel_out"][b, : n_frames[b]],
+                "pinyin": self._decode_pinyin(out["pinyin_pred"][b], len(f["chars"])),
+                "text": f["norm"],
+                "n_frames": n_frames[b],
+            }
+            if out_wavs and out_wavs[b]:
+                save_wav(out_wavs[b], wav, sr)
+            results.append((wav, info))
+        return results
+
+    def synthesize(self, text: str, seed: int = 0, out_wav: str | None = None):
+        # profile_infer: per-stage cumulative timers (reference utils.Timer
+        # around encoder/fvae/vocoder, tasks/tts/dict_tts.py:198-209).
+        # Timings here include one host sync each — see bench.py's note on
+        # relay round-trip costs when interpreting absolute numbers.
+        return self.synthesize_batch([text], seed=seed, out_wavs=[out_wav])[0]

@@ -145,3 +145,13 @@ def test_one_shot_inferencer(corpus, tmp_path):
     assert info["n_frames"] > 0
     assert wav.shape[0] == info["n_frames"] * 256
     assert os.path.exists(str(tmp_path / "o.wav"))
+
+    # batched serving path: different-length texts, one dispatch, per-item
+    # trims and decodes
+    results = inf.synthesize_batch(["你好", "你好天气很好"], seed=3)
+    assert len(results) == 2
+    for (w, i), n_chars in zip(results, (2, 6)):
+        assert len(i["pinyin"]) == n_chars
+        assert i["n_frames"] > 0
+        assert w.shape[0] == i["n_frames"] * 256
+        assert np.isfinite(w).all()
