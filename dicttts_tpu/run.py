@@ -68,6 +68,9 @@ def build_data_provider(cfg: dict, task_cls_name: str, mesh_size: int):
                 TTSBinaryDataset(data_dir, cfg.get("test_set_name", "test"), cfg, kind),
                 test_cfg, shuffle=False, devices_multiple=1,
             )
+            # tasks resolve the device-resident dict bank through
+            # provider.ds (use_device_dict_bank); expose the train split's
+            self.ds = self.train.ds
 
         def train_batches(self):
             return self.train.train_batches()

@@ -47,6 +47,15 @@ class DictTTSTask(AdversarialTTSTask):
         self.use_device_bank = bool(cfg.get("use_device_dict_bank")) and hasattr(
             data, "ds"
         ) and hasattr(getattr(data, "ds", None), "device_bank")
+        if bool(cfg.get("use_device_dict_bank")) and data is not None and not self.use_device_bank:
+            # the collater already skips the per-batch keys/values when the
+            # flag is set (data/datasets.py), so silently running without
+            # the bank would KeyError inside jit — fail at construction
+            raise ValueError(
+                "use_device_dict_bank=true but the data provider exposes no "
+                ".ds.device_bank (wrap providers like run.py's _Splits with "
+                "a .ds alias, or unset the flag)"
+            )
         self.mel_loss_spec = L.parse_mel_loss_spec(cfg.get("mel_loss", "ssim:0.5|l1:0.5"))
         self.lambda_kl = cfg.get("lambda_kl", 1.0)
         self.kl_min = cfg.get("kl_min", 0.002)

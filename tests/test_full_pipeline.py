@@ -155,3 +155,44 @@ def test_one_shot_inferencer(corpus, tmp_path):
         assert i["n_frames"] > 0
         assert w.shape[0] == i["n_frames"] * 256
         assert np.isfinite(w).all()
+
+
+def test_cli_provider_device_bank(corpus):
+    """Regression: run.py's _Splits wrapper must expose .ds so the device
+    dict bank resolves — with use_device_dict_bank the collater omits the
+    per-batch keys, and a task that silently falls back KeyErrors in jit."""
+    import pickle
+
+    from dicttts_tpu.run import build_data_provider
+
+    cfg = dict(
+        corpus,
+        use_device_dict_bank=True, use_pitch_embed=False, max_frames=256,
+        hidden_size=16, num_heads=2, enc_ffn_kernel_size=3, dropout=0.0,
+        latent_size=4, fvae_enc_dec_hidden=16, fvae_enc_n_layers=1,
+        fvae_dec_n_layers=1, prior_glow_hidden=8, prior_glow_n_blocks=1,
+        mel_disc_hidden_size=8, disc_win_num=1, mel_loss="l1:1.0",
+        dur_predictor_layers=2, frames_multiple=4,
+        mel_buckets=[256], txt_buckets=[16],
+    )
+    with open(os.path.join(cfg["binary_data_dir"], "pinyin_encoder.pkl"), "rb") as f:
+        import pickle as _p
+
+        cfg["value_embedding_size"] = len(_p.load(f)) + 2
+    data = build_data_provider(cfg, "dicttts_tpu.train.tasks.dict_tts.DictTTSTask", 1)
+    task = DictTTSTask(cfg, data)
+    assert task.use_device_bank, "device bank must resolve through the CLI provider"
+    state = task.build_state(jax.random.PRNGKey(0))
+    assert "_const_dict_bank" in state
+    batch = next(iter(data.train_batches()))
+    batch.pop("_meta", None)
+    assert "keys" not in batch  # the bank replaces per-batch gloss tensors
+    state, metrics = jax.jit(task.train_step)(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(jax.device_get(metrics["total_loss"])))
+
+    # without a bank-capable provider the task must refuse loudly
+    class NoDs:
+        pass
+
+    with pytest.raises(ValueError):
+        DictTTSTask(cfg, NoDs())
