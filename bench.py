@@ -134,7 +134,11 @@ def _bench_trainer(bdir: str) -> dict:
         eval_max_batches=1,
     )
     trainer.fit(task)
-    per_step = max(trainer.steady_per_step_s or 0.0, 1e-9)
+    assert trainer.steady_per_step_s is not None, (
+        "no steady-state window (need >= 2 dispatches) — refusing to report "
+        "a fabricated trainer number"
+    )
+    per_step = trainer.steady_per_step_s
     return {
         "train_steps_per_sec_real_data": round(1.0 / per_step, 2),
         "train_step_ms_real_data": round(per_step * 1000, 2),

@@ -251,8 +251,8 @@ class TTSBatchProvider:
                 [s["txt_tokens"][:t_txt] for s in samples], max_len=t_txt, dtype=np.int32
             ),
             "mels": collate_2d(
-                [s["mels"][:t_mel] for s in samples], max_len=t_mel
-            ).astype(mel_dtype),
+                [s["mels"][:t_mel] for s in samples], max_len=t_mel, dtype=mel_dtype
+            ),
             "mel_lengths": np.asarray([min(int(s["mel_lengths"]), t_mel) for s in samples], np.int32),
             "txt_lengths": np.asarray([min(len(s["txt_tokens"]), t_txt) for s in samples], np.int32),
         }
@@ -301,12 +301,14 @@ class TTSBatchProvider:
                     arr = collate_nd([s[key][:t_w, :l_k] for s in samples], max_lens=(t_w, l_k, None))
                     batch[key] = arr.astype(np.float32)
                 batch["key_map"] = collate_nd(
-                    [s["key_map"][:t_w, :l_k] for s in samples], max_lens=(t_w, l_k)
-                ).astype(np.int32)
+                    [s["key_map"][:t_w, :l_k] for s in samples],
+                    max_lens=(t_w, l_k), dtype=np.int32,
+                )
                 for key in ("pinyin", "pinyin_map"):
                     batch[key] = collate_nd(
-                        [s[key][:t_w, :l_p] for s in samples], max_lens=(t_w, l_p)
-                    ).astype(np.int32)
+                        [s[key][:t_w, :l_p] for s in samples],
+                        max_lens=(t_w, l_p), dtype=np.int32,
+                    )
         return batch
 
     def _iter(self):

@@ -58,6 +58,23 @@ def merge_token_pairs(tokens: list[str]) -> list[str]:
     return out
 
 
+def decode_pinyin_ids(pinyin_pred_row, n_chars: int, pinyin_list) -> list[str]:
+    """[T_w, 2] argmax id pairs -> flat token strings for the real chars
+    (rows 1..n_chars, skipping BOS/EOS). Pad id 0 renders as '<UNK>'
+    exactly like the reference vocab (pinyin_encoder[0] == '<UNK>',
+    stripped by the scorer); out-of-vocab ids render as '?'. The single
+    decode convention shared by the test scaffold (meta.csv) and the
+    serving path."""
+    toks = []
+    for pair in pinyin_pred_row[1 : n_chars + 1]:
+        for i in pair:
+            i = int(i)
+            toks.append(
+                "<UNK>" if i == 0 else pinyin_list[i] if i < len(pinyin_list) else "?"
+            )
+    return toks
+
+
 def parse_label_ph(ph: str) -> list[str]:
     """``<BOS> k a3 | er3 # p ei2 <EOS>`` -> ["ka3", "er3", "pei2"]."""
     core = ph[6:-6]  # strip '<BOS> ' and ' <EOS>' (reference [6:-6])

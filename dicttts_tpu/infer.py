@@ -133,16 +133,11 @@ class DictTTSInferencer:
         batch["values"] = batch["keys"]
         return batch
 
-    def _decode_pinyin(self, pinyin_pred_row: np.ndarray, n_chars: int) -> str:
+    def _decode_pinyin(self, pinyin_pred_row: np.ndarray, n_chars: int) -> list[str]:
         """argmax 2-token windows -> syllables (reference decode format)."""
-        from dicttts_tpu.eval.per import merge_token_pairs
+        from dicttts_tpu.eval.per import decode_pinyin_ids, merge_token_pairs
 
-        toks = []
-        for pair in pinyin_pred_row[1 : n_chars + 1]:
-            for i in pair:
-                i = int(i)
-                toks.append("<UNK>" if i == 0 else self.pinyin_list[i]
-                            if i < len(self.pinyin_list) else "?")
+        toks = decode_pinyin_ids(pinyin_pred_row, n_chars, self.pinyin_list)
         return merge_token_pairs([t for t in toks if t != "<UNK>"])
 
     def synthesize_batch(self, texts: list[str], seed: int = 0,
@@ -150,6 +145,8 @@ class DictTTSInferencer:
         """Batched serving path: ONE acoustic dispatch + ONE vocoder dispatch
         for the whole batch (bench.py measures ~1.6x per-chip throughput at
         B=16 vs B=1). Returns [(wav, info), ...] in input order."""
+        if not texts:
+            return []
         profile = self.cfg.get("profile_infer", False)
         from dicttts_tpu.eval.metrics import Timer
 

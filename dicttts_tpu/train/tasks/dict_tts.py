@@ -199,17 +199,16 @@ class DictTTSTask(AdversarialTTSTask):
                 )
             pinyin = ""
             if self._pinyin_list is not None:
+                from dicttts_tpu.eval.per import decode_pinyin_ids
+
                 n_words = int((np.asarray(batch["word_tokens"])[b] > 0).sum())
-                # chars 1..n-2 (skip BOS/EOS rows), two tokens per char; pad
-                # id 0 renders as '<UNK>' exactly like the reference vocab
-                # (pinyin_encoder[0] == '<UNK>', stripped by the scorer)
-                toks = []
-                for pair in out["pinyin_pred"][b][1 : max(n_words - 1, 1)]:
-                    for i in pair:
-                        i = int(i)
-                        toks.append("<UNK>" if i == 0 else self._pinyin_list[i]
-                                    if i < len(self._pinyin_list) else "?")
-                pinyin = " ".join(toks)
+                # chars 1..n-2 (skip BOS/EOS rows), two tokens per char —
+                # the shared decode convention (eval/per.decode_pinyin_ids)
+                pinyin = " ".join(
+                    decode_pinyin_ids(
+                        out["pinyin_pred"][b], max(n_words - 2, 0), self._pinyin_list
+                    )
+                )
             txt = meta.get("txt", "").replace(",", "，").replace(".", "。")
             rows.append([name, txt, pinyin,
                          os.path.join(out_dir, f"{name}.wav"), meta.get("wav_fn_gt", "")])

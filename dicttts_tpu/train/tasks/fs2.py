@@ -13,6 +13,7 @@ import optax
 from dicttts_tpu.models.fastspeech2 import FastSpeech2
 from dicttts_tpu.ops.seq import mel2token_to_dur
 from dicttts_tpu.train import losses as L
+from dicttts_tpu.train.tasks.adv_base import upcast_transfer_dtypes
 from dicttts_tpu.utils.schedulers import rsqrt_schedule
 
 
@@ -110,8 +111,6 @@ class FastSpeech2Task:
         return sum(losses.values()), losses
 
     def train_step(self, state, batch, rng):
-        from dicttts_tpu.train.tasks.adv_base import upcast_transfer_dtypes
-
         batch = upcast_transfer_dtypes(batch)
         (loss, losses), grads = jax.value_and_grad(self._losses, has_aux=True)(
             state["params_g"], batch, rng, True
@@ -122,8 +121,6 @@ class FastSpeech2Task:
         return {"params_g": params, "opt_g": opt, "step": state["step"] + 1}, losses
 
     def val_step(self, state, batch, rng):
-        from dicttts_tpu.train.tasks.adv_base import upcast_transfer_dtypes
-
         loss, losses = self._losses(state["params_g"], upcast_transfer_dtypes(batch), rng, False)
         losses["total_loss"] = loss
         return losses

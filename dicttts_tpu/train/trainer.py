@@ -167,6 +167,7 @@ class Trainer:
         # `steady_per_step_s` an honest pipelined steps/s over ONE run —
         # no cross-run differencing needed (bench.py).
         t_start, steps_done = time.time(), 0
+        t_excluded = 0.0  # validation/checkpoint/artifact wall time
         synced_once = False
         self.steady_per_step_s = None
         group: list = []
@@ -215,12 +216,18 @@ class Trainer:
                     )
                 # validate once per interval (also when a group jumps past it)
                 if self.global_step % self.val_check_interval < n_ran:
+                    # validation/ckpt time is NOT train throughput: drain the
+                    # step queue first, then exclude this block's wall time
+                    # from the steady-state clock
+                    jax.device_get(jax.tree.leaves(metrics)[0])
+                    t_val = time.time()
                     val_metrics = self._evaluate(task, state, val_step, rng)
                     self._save(state, val_metrics)
                     self._log_artifacts(task, state, rng)
+                    t_excluded += time.time() - t_val
         if synced_once and steps_done > 0:
             jax.device_get(jax.tree.leaves(metrics)[0])  # drain the queue
-            self.steady_per_step_s = (time.time() - t_start) / steps_done
+            self.steady_per_step_s = (time.time() - t_start - t_excluded) / steps_done
         # final checkpoint
         self._save(state, self._evaluate(task, state, val_step, rng))
         return state
