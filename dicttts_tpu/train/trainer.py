@@ -41,6 +41,7 @@ from dicttts_tpu.utils.checkpoint import (
     restore_checkpoint,
     save_checkpoint,
 )
+from dicttts_tpu.utils.prefetch import prefetch_iterator
 
 log = logging.getLogger("dicttts_tpu.trainer")
 
@@ -172,7 +173,7 @@ class Trainer:
         self.steady_per_step_s = None
         group: list = []
         while self.global_step < self.max_updates:
-            for batch in task.train_batches():
+            for batch in prefetch_iterator(task.train_batches(), depth=2 * k):
                 if self.global_step >= self.max_updates:
                     break
                 batch.pop("_meta", None)

@@ -103,3 +103,21 @@ def test_steady_state_none_for_single_dispatch(tmp_path):
     )
     trainer.fit(task)
     assert trainer.steady_per_step_s is None
+
+
+def test_prefetch_iterator_order_and_errors():
+    from dicttts_tpu.utils.prefetch import prefetch_iterator
+
+    assert list(prefetch_iterator(iter(range(100)), depth=4)) == list(range(100))
+
+    def boom():
+        yield 1
+        raise RuntimeError("producer failed")
+
+    it = prefetch_iterator(boom(), depth=2)
+    assert next(it) == 1
+    try:
+        next(it)
+        raise AssertionError("expected RuntimeError")
+    except RuntimeError as e:
+        assert "producer failed" in str(e)
