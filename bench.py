@@ -130,7 +130,7 @@ def _bench_trainer(bdir: str) -> dict:
     # between runs, swamping the ~50 ms/step signal.
     trainer = Trainer(
         work_dir="", max_updates=160, val_check_interval=10**9,
-        num_sanity_val_steps=0, steps_per_dispatch=8, tb_log_interval=10**9,
+        num_sanity_val_steps=0, steps_per_dispatch=16, tb_log_interval=10**9,
         eval_max_batches=1,
     )
     trainer.fit(task)
