@@ -196,3 +196,39 @@ def test_cli_provider_device_bank(corpus):
 
     with pytest.raises(ValueError):
         DictTTSTask(cfg, NoDs())
+
+
+def test_amp_f16_transfer_on_mesh(corpus):
+    """The f16 mel transfer format must survive the 8-device mesh path:
+    collate (f16 under amp) -> pad -> shard -> jitted step upcasts on
+    device and trains."""
+    import pickle
+
+    from dicttts_tpu.parallel.mesh import make_mesh, pad_batch_to_devices, shard_batch
+
+    cfg = dict(
+        corpus,
+        amp=True, use_pitch_embed=False, max_frames=256,
+        hidden_size=16, num_heads=2, enc_ffn_kernel_size=3, dropout=0.0,
+        latent_size=4, fvae_enc_dec_hidden=16, fvae_enc_n_layers=1,
+        fvae_dec_n_layers=1, prior_glow_hidden=8, prior_glow_n_blocks=1,
+        mel_disc_hidden_size=8, disc_win_num=1, mel_loss="ssim:0.5|l1:0.5",
+        dur_predictor_layers=2, frames_multiple=4,
+        mel_buckets=[256], txt_buckets=[16],
+    )
+    with open(os.path.join(cfg["binary_data_dir"], "pinyin_encoder.pkl"), "rb") as f:
+        import pickle as _p
+
+        cfg["value_embedding_size"] = len(_p.load(f)) + 2
+    ds = TTSBinaryDataset(cfg["binary_data_dir"], "train", cfg, kind="dict")
+    provider = TTSBatchProvider(ds, cfg, shuffle=False)
+    task = DictTTSTask(cfg, provider)
+    batch = next(iter(provider.train_batches()))
+    batch.pop("_meta", None)
+    assert batch["mels"].dtype == np.float16  # transfer format under amp
+    mesh = make_mesh()
+    assert mesh.size >= 8
+    sharded = shard_batch(pad_batch_to_devices(batch, mesh.size), mesh)
+    state = task.build_state(jax.random.PRNGKey(0))
+    state, metrics = jax.jit(task.train_step)(state, sharded, jax.random.PRNGKey(1))
+    assert np.isfinite(float(jax.device_get(metrics["total_loss"])))
