@@ -170,6 +170,8 @@ class DictTTSTask(AdversarialTTSTask):
 
         import numpy as np
 
+        from dicttts_tpu.eval.per import decode_pinyin_ids
+
         out_dir = os.path.join(self.cfg.get("work_dir", "infer_out") or "infer_out", "generated")
         os.makedirs(out_dir, exist_ok=True)
         if not hasattr(self, "_pinyin_list"):
@@ -199,8 +201,6 @@ class DictTTSTask(AdversarialTTSTask):
                 )
             pinyin = ""
             if self._pinyin_list is not None:
-                from dicttts_tpu.eval.per import decode_pinyin_ids
-
                 n_words = int((np.asarray(batch["word_tokens"])[b] > 0).sum())
                 # chars 1..n-2 (skip BOS/EOS rows), two tokens per char —
                 # the shared decode convention (eval/per.decode_pinyin_ids)

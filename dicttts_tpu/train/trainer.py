@@ -173,7 +173,11 @@ class Trainer:
         self.steady_per_step_s = None
         group: list = []
         while self.global_step < self.max_updates:
-            for batch in prefetch_iterator(task.train_batches(), depth=2 * k):
+            # depth is capped: host-bank dict batches can run ~100 MB each
+            # (keys/values [B, Tw, L_k, 768]), so a 2*k queue at k=16 would
+            # pin gigabytes; 8 ahead is plenty to keep the producer ahead of
+            # the ~5 ms/batch collate vs ~35 ms/group dispatch cadence
+            for batch in prefetch_iterator(task.train_batches(), depth=min(2 * k, 8)):
                 if self.global_step >= self.max_updates:
                     break
                 batch.pop("_meta", None)
@@ -206,7 +210,9 @@ class Trainer:
                 # log once per interval (group steps may jump past the mark)
                 if self.global_step % self.tb_log_interval < n_ran:
                     metrics = jax.device_get(metrics)
-                    sps = steps_done / max(time.time() - t_start, 1e-9)
+                    # same exclusion as steady_per_step_s so the live log and
+                    # the final number agree
+                    sps = steps_done / max(time.time() - t_start - t_excluded, 1e-9)
                     metrics["steps_per_sec"] = sps
                     self.log_metrics(metrics, "tr")
                     log.info(

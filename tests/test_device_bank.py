@@ -113,8 +113,10 @@ def test_device_bank_matches_host_bank_path(corpus):
         # sits exactly on an integer boundary (rare; depends on the
         # hash-seed-dependent vocab ids of the freshly built toy corpus).
         # Frames after the flip are shifted, so an elementwise mel
-        # comparison is ill-defined — require the flip to be marginal.
-        assert (out_h["mel2word"] == out_b["mel2word"]).mean() > 0.9
+        # comparison is ill-defined — require the flip to be marginal over
+        # the REAL frames (pads agree trivially and would inflate the ratio)
+        real = (out_h["mel2word"] > 0) | (out_b["mel2word"] > 0)
+        assert (out_h["mel2word"] == out_b["mel2word"])[real].mean() > 0.9
 
     st_h, m_h = jax.jit(task_h.train_step)(state_h, batch_h, jax.random.PRNGKey(3))
     st_b, m_b = jax.jit(task_b.train_step)(state_b, batch_b, jax.random.PRNGKey(3))

@@ -176,9 +176,7 @@ def test_cli_provider_device_bank(corpus):
         mel_buckets=[256], txt_buckets=[16],
     )
     with open(os.path.join(cfg["binary_data_dir"], "pinyin_encoder.pkl"), "rb") as f:
-        import pickle as _p
-
-        cfg["value_embedding_size"] = len(_p.load(f)) + 2
+        cfg["value_embedding_size"] = len(pickle.load(f)) + 2
     data = build_data_provider(cfg, "dicttts_tpu.train.tasks.dict_tts.DictTTSTask", 1)
     task = DictTTSTask(cfg, data)
     assert task.use_device_bank, "device bank must resolve through the CLI provider"
@@ -217,9 +215,7 @@ def test_amp_f16_transfer_on_mesh(corpus):
         mel_buckets=[256], txt_buckets=[16],
     )
     with open(os.path.join(cfg["binary_data_dir"], "pinyin_encoder.pkl"), "rb") as f:
-        import pickle as _p
-
-        cfg["value_embedding_size"] = len(_p.load(f)) + 2
+        cfg["value_embedding_size"] = len(pickle.load(f)) + 2
     ds = TTSBinaryDataset(cfg["binary_data_dir"], "train", cfg, kind="dict")
     provider = TTSBatchProvider(ds, cfg, shuffle=False)
     task = DictTTSTask(cfg, provider)
