@@ -216,6 +216,7 @@ class S2PATextEncoder(nn.Module):
     pinyin_vocab: int = 185
     use_pallas: bool = False
     sense_mode: str = "token"
+    max_senses: int = 10
 
     @nn.compact
     def __call__(
@@ -236,7 +237,8 @@ class S2PATextEncoder(nn.Module):
         )(x, x_mask, deterministic)
         context, dict_attn, pron, pron_align = S2PAAttention(
             H, pinyin_vocab=self.pinyin_vocab, dropout_rate=self.p_dropout,
-            use_pallas=self.use_pallas, sense_mode=self.sense_mode, name="s2pa"
+            use_pallas=self.use_pallas, sense_mode=self.sense_mode,
+            max_senses=self.max_senses, name="s2pa"
         )(x, dict_msg, pron_modified, deterministic)
         context = context * x_mask
         x = context + pron
@@ -258,6 +260,7 @@ class DictEncoder(nn.Module):
     pinyin_vocab: int = 185
     use_pallas: bool = False
     sense_mode: str = "token"
+    max_senses: int = 10
 
     @nn.compact
     def __call__(self, word_tokens, dict_msg, pron_modified=None, deterministic: bool = True):
@@ -272,6 +275,7 @@ class DictEncoder(nn.Module):
             pinyin_vocab=self.pinyin_vocab,
             use_pallas=self.use_pallas,
             sense_mode=self.sense_mode,
+            max_senses=self.max_senses,
             name="s2pa_module",
         )(word_tokens, dict_msg, pron_modified, deterministic)
         return x * nonpadding, dict_attn, pron_attn, context

@@ -60,6 +60,9 @@ class DictTTS(nn.Module):
     use_pallas_s2pa: bool = False
     # 'token' (released) | 'sense' | 'gumbel' — see dict_encoder.sense_remap_grouped
     s2pa_sense_mode: str = "token"
+    # static sense-axis bound for the grouped modes; must cover the bank's
+    # key_map.max() (binarizer asserts at bank-build time)
+    s2pa_max_senses: int = 10
 
     def setup(self):
         self.dict_encoder = DictEncoder(
@@ -71,6 +74,7 @@ class DictTTS(nn.Module):
             self.pinyin_vocab,
             self.use_pallas_s2pa,
             self.s2pa_sense_mode,
+            self.s2pa_max_senses,
         )
         self.dur_predictor = DurationPredictor(
             n_chans=self.dur_predictor_chans,

@@ -206,6 +206,14 @@ class Glow(nn.Module):
         deterministic: bool = True,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         x = jnp.asarray(x, jnp.float32)
+        # squeeze() silently DROPS the trailing frames for T % n_sqz != 0
+        # and the round trip returns fewer frames than it was given — fail
+        # loudly instead of corrupting shapes downstream (ADVICE r2)
+        if x.shape[1] % self.n_sqz != 0:
+            raise ValueError(
+                f"Glow input length {x.shape[1]} not a multiple of n_sqz="
+                f"{self.n_sqz}; pad max_frames/frames_multiple accordingly"
+            )
         x, x_mask_sqz = squeeze(x, x_mask, self.n_sqz)
         if g is not None:
             g, _ = squeeze(jnp.asarray(g, jnp.float32), x_mask, self.n_sqz)

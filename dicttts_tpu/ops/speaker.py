@@ -45,14 +45,52 @@ def spectral_speaker_stats(mel: np.ndarray, f0: np.ndarray | None = None, dim: i
 _GE2E_CACHE: dict = {}
 
 
-def speaker_embed(mel: np.ndarray, f0: np.ndarray | None, cfg: dict) -> np.ndarray:
+def resemblyzer_mel(wav: np.ndarray, sr: int) -> np.ndarray:
+    """Resemblyzer's exact front-end: 16 kHz, -30 dBFS volume norm, 25 ms /
+    10 ms power mel, 40 bins, NO log (Resemblyzer audio.py
+    wav_to_mel_spectrogram) — so a real pretrained GE2E checkpoint sees
+    in-distribution inputs instead of the corpus' 80-bin log-mel truncated
+    to 40 bins (ADVICE r2). VAD silence trimming is skipped (webrtcvad not
+    in this image); volume-normalized full utterances stay close enough in
+    distribution for speaker conditioning."""
+    from dicttts_tpu.ops.mel import hann_window, mel_filterbank
+
+    wav = np.asarray(wav, np.float32)
+    if sr != 16000:
+        from math import gcd
+
+        from scipy.signal import resample_poly
+
+        g = gcd(16000, int(sr))
+        wav = resample_poly(wav, 16000 // g, int(sr) // g).astype(np.float32)
+    rms = float(np.sqrt(np.mean(wav**2) + 1e-12))
+    wav = wav * (10 ** (-30 / 20) / max(rms, 1e-12))  # normalize to -30 dBFS
+    n_fft, hop, n_mels = 400, 160, 40
+    w = np.pad(wav, (n_fft // 2, n_fft // 2), mode="reflect")
+    window = np.asarray(hann_window(n_fft, periodic=True), np.float32)
+    n_frames = 1 + (len(w) - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    spec = np.abs(np.fft.rfft(w[idx] * window, n=n_fft, axis=-1)) ** 2
+    basis = mel_filterbank(16000, n_fft, n_mels, 0.0, 8000.0)
+    return (spec @ basis.T).astype(np.float32)  # [T, 40] power mel
+
+
+def speaker_embed(
+    mel: np.ndarray,
+    f0: np.ndarray | None,
+    cfg: dict,
+    wav: np.ndarray | None = None,
+    sr: int | None = None,
+) -> np.ndarray:
     """Per-utterance speaker embedding (reference base_binarizer.py:156-167).
 
     cfg['spk_encoder_ckpt'] set -> GE2E voice encoder
     (models/speaker_encoder.py: Resemblyzer architecture, torch-parity
-    converter; the mel fed is the corpus' own 80-bin mel — consistent
-    within a corpus, which is all speaker conditioning needs). Otherwise
-    the deterministic spectral-stats stand-in."""
+    converter). When the wav is provided, the encoder input is recomputed
+    with Resemblyzer's own 40-bin 16 kHz front-end (`resemblyzer_mel`) so
+    pretrained checkpoints see in-distribution features; without a wav it
+    falls back to truncating the corpus mel (within-corpus consistent
+    only). Otherwise the deterministic spectral-stats stand-in."""
     ckpt = cfg.get("spk_encoder_ckpt")
     if ckpt:
         if ckpt not in _GE2E_CACHE:
@@ -74,8 +112,11 @@ def speaker_embed(mel: np.ndarray, f0: np.ndarray | None, cfg: dict) -> np.ndarr
             from dicttts_tpu.models.speaker_encoder import embed_utterance
 
             mel_n = params["lstm_0"]["ii"]["kernel"].shape[0]
-            m = mel[:, :mel_n] if mel.shape[1] >= mel_n else np.pad(
-                mel, ((0, 0), (0, mel_n - mel.shape[1]))
-            )
+            if wav is not None and mel_n == 40:
+                m = resemblyzer_mel(wav, int(sr or 22050))
+            else:
+                m = mel[:, :mel_n] if mel.shape[1] >= mel_n else np.pad(
+                    mel, ((0, 0), (0, mel_n - mel.shape[1]))
+                )
             return embed_utterance(params, np.asarray(m, np.float32))
     return spectral_speaker_stats(mel, f0)

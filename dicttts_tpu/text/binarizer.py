@@ -287,7 +287,7 @@ class ZhBinarizer:
         if self.cfg.get("with_spk_embed"):
             from dicttts_tpu.ops.speaker import speaker_embed
 
-            item["spk_embed"] = speaker_embed(mel, f0, self.cfg)
+            item["spk_embed"] = speaker_embed(mel, f0, self.cfg, wav=wav, sr=sr)
         if self.cfg.get("with_f0cwt"):
             from dicttts_tpu.ops.cwt import f0_cwt
 
@@ -374,6 +374,15 @@ class ZhBinarizer:
                 keys = [np.zeros((3, dim), np.float32)]
                 key_map = [0, 1, 0]
                 pinyin_toks, pinyin_map, glosses = ["<UNK>"], [1], [["O"]]
+            # loud truncation guard (ADVICE r2): the grouped sense modes use a
+            # static s2pa_max_senses axis — a bank with more pronunciations
+            # than that would silently drop attention mass at train time
+            max_senses = int(self.cfg.get("s2pa_max_senses", 10))
+            if len(prons) > max_senses:
+                raise ValueError(
+                    f"word {word!r} has {len(prons)} pronunciations > "
+                    f"s2pa_max_senses={max_senses}; raise s2pa_max_senses in the config"
+                )
             key_arr = np.concatenate(keys, axis=0)
             builder.add_item(
                 {

@@ -85,6 +85,7 @@ class DictTTSTask(AdversarialTTSTask):
             num_spk=cfg.get("num_spk", 0) if cfg.get("use_spk_id") else 0,
             use_pallas_s2pa=cfg.get("use_pallas_s2pa", False),
             s2pa_sense_mode=cfg.get("s2pa_sense_mode", "token"),
+            s2pa_max_senses=cfg.get("s2pa_max_senses", 10),
         )
 
     def build_state(self, rng) -> dict:

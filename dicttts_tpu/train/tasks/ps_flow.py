@@ -13,6 +13,10 @@ Two-stage semantics (ps_flow.py:58-66 + egs ps_flow.yaml:63 two_stage):
 Implemented as one jitted step: both losses are computed, stage weights
 gate the gradients, and optax.masked partitions the parameter tree by the
 `post_flow` subtree so each stage's optimizer only touches its own params.
+
+two_stage=false (the reference's joint mode) trains main + postflow
+together under the single generator optimizer — that is exactly the parent
+class's step with `_gen_losses` adding the postflow NLL to the total.
 """
 
 from __future__ import annotations
@@ -42,6 +46,9 @@ class PortaSpeechFlowTask(PortaSpeechAdvTask):
         cfg = dict(cfg)
         cfg["lambda_mel_adv"] = 0.0  # disable the adversarial term & disc updates
         self.use_post_glow = bool(cfg.get("use_post_glow", False))
+        # two_stage=true (reference default): freeze-swap at
+        # post_glow_training_start; false: joint main+postflow training
+        self.two_stage = bool(cfg.get("two_stage", True))
         self.post_glow_training_start = cfg.get("post_glow_training_start", 160000)
         super().__init__(cfg, data)
         if self.use_post_glow:
@@ -76,7 +83,7 @@ class PortaSpeechFlowTask(PortaSpeechAdvTask):
 
     def build_state(self, rng) -> dict:
         state = super().build_state(rng)
-        if self.use_post_glow:
+        if self.use_post_glow and self.two_stage:
             pg = state["params_g"]
             labels = _postflow_labels(pg)
             # each stage optimizer updates ONLY its partition; the other
@@ -100,7 +107,9 @@ class PortaSpeechFlowTask(PortaSpeechAdvTask):
         return total, (losses, out)
 
     def _train_step_inner(self, state, batch, rng):
-        if not self.use_post_glow:
+        # joint mode (two_stage=false): the parent step already trains
+        # main + postflow together (postflow added to total in _gen_losses)
+        if not self.use_post_glow or not self.two_stage:
             return super()._train_step_inner(state, batch, rng)
         batch = self.prepare_batch(state, batch)
         step = state["step"]
@@ -116,7 +125,10 @@ class PortaSpeechFlowTask(PortaSpeechAdvTask):
                 out["dur"], batch["mel2word"], batch["word_lengths"],
                 self.cfg.get("dur_scale", "log"),
             )
-            total = sum(main.values()) * (1.0 - post_on) + out["postflow"] * post_on
+            # hard select (not a blend): a non-finite value in the INACTIVE
+            # stage's term must not poison the active stage (NaN*0=NaN under
+            # the old sum-of-weighted form) — ADVICE r2
+            total = jnp.where(post_on > 0, out["postflow"], sum(main.values()))
             return total, {**main, "postflow": out["postflow"]}
 
         (loss, losses), grads = jax.value_and_grad(staged_loss, has_aux=True)(

@@ -275,11 +275,17 @@ class Trainer:
                 break
             rng, step_rng = jax.random.split(rng)
             batch.pop("_meta", None)
+            # size-weighted aggregation (reference AvgrageMeter semantics,
+            # tasks/base_task.py:260-292): with token-budget batching the
+            # batches are unequal — weight each batch's per-sentence means by
+            # its TRUE sentence count (pre-padding) so the val mean is
+            # invariant to how the data was partitioned into batches
+            n_sent = _batch_sentences(batch)
             batch = shard_batch(pad_batch_to_devices(batch, self.mesh.size), self.mesh)
             metrics = jax.device_get(val_step(state, batch, step_rng))
             for k, v in metrics.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
-            count += 1
+                sums[k] = sums.get(k, 0.0) + float(v) * n_sent
+            count += n_sent
         means = {k: v / max(count, 1) for k, v in sums.items()}
         if not sanity:
             total = means.get(self.monitor_key, sum(means.values()))
@@ -328,6 +334,19 @@ class Trainer:
             is_best=self.save_best and better,
             extra={"best_val": float(self.best_val)},
         )
+
+
+def _batch_sentences(batch: dict) -> int:
+    """True sentence count of a host batch (leading dim of a batch-major
+    array, preferring canonical keys so aux arrays can't mislead)."""
+    for key in ("mels", "wavs", "word_tokens", "txt_tokens"):
+        v = batch.get(key)
+        if v is not None and np.ndim(v) >= 1:
+            return int(np.shape(v)[0])
+    for v in batch.values():
+        if hasattr(v, "shape") and np.ndim(v) >= 1:
+            return int(np.shape(v)[0])
+    return 1
 
 
 def _strip_consts(state):

@@ -104,3 +104,29 @@ def test_shipped_configs_cls_paths_resolve():
             assert hasattr(mod, cls_name), f"{path}: {key}={val} has no attr {cls_name}"
             checked += 1
     assert checked >= 7  # task_cls x5 + pre_align_cls + binarizer_cls
+
+
+def test_every_dataset_config_launches_its_task():
+    """Every shipped dataset recipe must resolve through the config DAG and
+    construct its task object (VERDICT r2 #7: all baselines launchable from
+    shipped configs, no hand-written YAML needed)."""
+    import glob
+    import importlib
+
+    import dicttts_tpu
+
+    cfg_root = os.path.join(os.path.dirname(dicttts_tpu.__file__), "configs")
+    yamls = glob.glob(os.path.join(cfg_root, "datasets", "**", "*.yaml"), recursive=True)
+    built = 0
+    for path in sorted(yamls):
+        cfg = load_config(config=path, save=False)
+        if "base_text2mel" in path:  # shared fragment, not a launchable leaf
+            continue
+        task_path = cfg.get("task_cls")
+        assert task_path, f"{path} resolves to no task_cls"
+        module_name, cls_name = task_path.rsplit(".", 1)
+        task_cls = getattr(importlib.import_module(module_name), cls_name)
+        task_cls(cfg)  # model + optimizer wiring must build without data
+        built += 1
+    # dict_tts x2, hifigan x2, fs2, ps_flow, ps_adv
+    assert built >= 7, f"only {built} dataset recipes built"
