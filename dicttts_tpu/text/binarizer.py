@@ -48,6 +48,86 @@ from dicttts_tpu.vocoders.hifigan import load_wav
 log = logging.getLogger("dicttts_tpu.binarizer")
 
 
+def _word_structures(g2p, text: str, ph_list: list[str]):
+    """words (+BOS/EOS), ph2word, per-char grouping of phones."""
+    words = ["<BOS>"] + list(text) + ["<EOS>"]
+    ph2word = []
+    full_ph = ["<BOS>"] + ph_list + ["<EOS>"]
+    word_idx = 1
+    char_cursor = 0
+    for i, ph in enumerate(full_ph):
+        if ph == "<BOS>":
+            ph2word.append(1)
+        elif ph == "<EOS>":
+            ph2word.append(len(words))
+        elif ph in ("#", "|"):
+            ph2word.append(word_idx)  # separators stick to the previous char
+        else:
+            # a char contributes 1-2 phones (initial?, final) or is punctuation
+            if char_cursor == 0:
+                word_idx += 1
+            char = text[word_idx - 2] if word_idx - 2 < len(text) else ""
+            n_ph = len(g2p.char_phones(char)) if char else 1
+            char_cursor += 1
+            ph2word.append(word_idx)
+            if char_cursor >= n_ph:
+                char_cursor = 0
+    return words, full_ph, ph2word
+
+
+def _align_structures(full_ph, ph2word, tg_text, T, hop, sr):
+    """mel2ph (TextGrid when given, uniform fallback otherwise) + mel2word."""
+    if tg_text:
+        intervals = parse_textgrid(tg_text)
+        mel2ph, _durs = textgrid_to_mel2ph(intervals, full_ph, T, hop, sr)
+    else:
+        real = [i for i, p in enumerate(full_ph) if p not in ("#", "|")]
+        per = max(T // max(len(real), 1), 1)
+        mel2ph = []
+        for j, i in enumerate(real):
+            n = per if j < len(real) - 1 else T - per * (len(real) - 1)
+            mel2ph.extend([i + 1] * max(n, 0))
+        mel2ph = (mel2ph + [real[-1] + 1] * T)[:T]
+    mel2word = [ph2word[m - 1] if m > 0 else 0 for m in mel2ph]
+    return mel2ph, mel2word
+
+
+# per-worker-process lazy context for the host-side fan-out: the text
+# machinery (dict, g2p caches, sandhi engine) builds once per worker, not
+# per item (reference keeps it module-global in the forked workers,
+# base_binarizer.py:148-186)
+_HOST_CTX: dict = {}
+
+
+def host_item_structures(item_name, text, ph_list, tg_text, T, hop, sr,
+                         dict_path, pos_merge):
+    """All host-side per-item text work: word structures, alignment, sandhi.
+
+    Pure function of small inputs (no wav/mel arrays), safe to fan out
+    across processes via chunked_multiprocess_run/MultiprocessManager
+    (reference wiring: data_gen/tts/base_binarizer.py:148-186). Raises on
+    broken items; the caller's fault tolerance turns that into a skip.
+    """
+    ctx = _HOST_CTX.get((dict_path, pos_merge))
+    if ctx is None:
+        zh = load_dict(dict_path)
+        ctx = (ZhG2P(dict_path, pos_merge=pos_merge), SandhiProcessor(zh))
+        _HOST_CTX[(dict_path, pos_merge)] = ctx
+    g2p, sandhi = ctx
+    words, full_ph, ph2word = _word_structures(g2p, text, ph_list)
+    mel2ph, mel2word = _align_structures(full_ph, ph2word, tg_text, T, hop, sr)
+    pron_modified = [0] + sandhi.process_sandhi(text, None) + [0]
+    return {
+        "item_name": item_name,
+        "words": words,
+        "full_ph": full_ph,
+        "ph2word": ph2word,
+        "mel2ph": mel2ph,
+        "mel2word": mel2word,
+        "pron_modified": pron_modified,
+    }
+
+
 class PreAlign:
     """Stage 1: text processing + metadata (reference base_pre_align.py)."""
 
@@ -211,61 +291,39 @@ class ZhBinarizer:
 
     # -- structure building ---------------------------------------------------
     def _word_structures(self, text: str, ph_list: list[str]):
-        """words (+BOS/EOS), ph2word, per-char grouping of phones."""
-        words = ["<BOS>"] + list(text) + ["<EOS>"]
-        ph2word = []
-        full_ph = ["<BOS>"] + ph_list + ["<EOS>"]
-        word_idx = 1
-        char_cursor = 0
-        for i, ph in enumerate(full_ph):
-            if ph == "<BOS>":
-                ph2word.append(1)
-            elif ph == "<EOS>":
-                ph2word.append(len(words))
-            elif ph in ("#", "|"):
-                ph2word.append(word_idx)  # separators stick to the previous char
-            else:
-                # a char contributes 1-2 phones (initial?, final) or is punctuation
-                if char_cursor == 0:
-                    word_idx += 1
-                char = text[word_idx - 2] if word_idx - 2 < len(text) else ""
-                n_ph = len(self.g2p.char_phones(char)) if char else 1
-                char_cursor += 1
-                ph2word.append(word_idx)
-                if char_cursor >= n_ph:
-                    char_cursor = 0
-        return words, full_ph, ph2word
+        return _word_structures(self.g2p, text, ph_list)
 
     def process_item(self, item_name: str, wav_fn: str, text: str, ph_list: list[str],
                      tg_path: str | None, ph_encoder, word_encoder,
-                     spk_id: int = 0, features=None) -> dict | None:
+                     spk_id: int = 0, features=None, structures=None) -> dict | None:
         """``features``: optional precomputed (wav, sr, mel, f0) from the
         batched extraction path (one device dispatch per chunk instead of
         per item — ~30-40 ms host sync each through this environment's
-        relay)."""
+        relay). ``structures``: optional precomputed host_item_structures()
+        result from the multiprocess fan-out."""
         if features is not None:
             wav, sr, mel, f0 = features
         else:
             wav, sr = (load_wav(wav_fn) if isinstance(wav_fn, str) else (np.asarray(wav_fn, np.float32), self.cfg.get("audio_sample_rate", 22050)))
             mel, f0 = self._wav_features(wav)
         T = mel.shape[0]
-        words, full_ph, ph2word = self._word_structures(text, ph_list)
-        if tg_path and os.path.exists(tg_path):
-            intervals = parse_textgrid(open(tg_path, encoding="utf-8").read())
-            mel2ph, durs = textgrid_to_mel2ph(
-                intervals, full_ph, T, self.cfg.get("hop_size", 256), sr
+        if structures is None:
+            words, full_ph, ph2word = self._word_structures(text, ph_list)
+            tg_text = (
+                open(tg_path, encoding="utf-8").read()
+                if tg_path and os.path.exists(tg_path)
+                else None
             )
+            mel2ph, mel2word = _align_structures(
+                full_ph, ph2word, tg_text, T, self.cfg.get("hop_size", 256), sr
+            )
+            pron_modified = [0] + self.sandhi.process_sandhi(text, None) + [0]
         else:
-            # uniform fallback: spread frames across non-separator phones
-            real = [i for i, p in enumerate(full_ph) if p not in ("#", "|")]
-            per = max(T // max(len(real), 1), 1)
-            mel2ph = []
-            for j, i in enumerate(real):
-                n = per if j < len(real) - 1 else T - per * (len(real) - 1)
-                mel2ph.extend([i + 1] * max(n, 0))
-            mel2ph = (mel2ph + [real[-1] + 1] * T)[:T]
-        mel2word = [ph2word[m - 1] if m > 0 else 0 for m in mel2ph]
-        pron_modified = [0] + self.sandhi.process_sandhi(text, None) + [0]
+            words, full_ph, ph2word = (
+                structures["words"], structures["full_ph"], structures["ph2word"]
+            )
+            mel2ph, mel2word = structures["mel2ph"], structures["mel2word"]
+            pron_modified = structures["pron_modified"]
         item = {
             "item_name": item_name,
             "txt": text,
@@ -483,57 +541,104 @@ class ZhBinarizer:
         tg_dir = os.path.join(proc_dir, "mfa_outputs")
         chunk_size = max(int(cfg.get("binarize_batch", 16)), 1)
         sr_cfg = cfg.get("audio_sample_rate", 22050)
-        for split, split_rows in splits.items():
-            builder = IndexedDatasetBuilder(os.path.join(out_dir, split))
-            lengths, f0_all = [], []
-            for start in range(0, len(split_rows), chunk_size):
-                chunk = split_rows[start : start + chunk_size]
-                loaded = []  # (row, wav, sr)
-                for row in chunk:
-                    try:
-                        wav_fn = row[1]
-                        wav, sr = (
-                            load_wav(wav_fn)
-                            if isinstance(wav_fn, str)
-                            else (np.asarray(wav_fn, np.float32), sr_cfg)
-                        )
-                        loaded.append((row, wav, sr))
-                    except Exception as e:
-                        log.warning("skip %s (wav load): %s", row[0], e)
-                if not loaded:
-                    continue
-                feats = self._batched_features([w for _, w, _ in loaded], loaded[0][2])
-                for (row, wav, sr), (mel, f0) in zip(loaded, feats):
-                    item_name, text, ph_str = row[0], row[2], row[3]
-                    spk = row[4] if len(row) > 4 and row[4] else "<SINGLE_SPK>"
-                    tg = os.path.join(tg_dir, f"{item_name}.TextGrid")
-                    try:
-                        item = self.process_item(
-                            item_name, row[1], text, ph_str.split(),
-                            tg if os.path.exists(tg) else None,
-                            ph_encoder, word_encoder,
-                            spk_id=spk_map.get(spk, 0),
-                            features=(wav, sr, mel, f0),
-                        )
-                    except Exception as e:  # skip broken items, keep the job alive
-                        log.warning("skip %s: %s", item_name, e)
+        hop = cfg.get("hop_size", 256)
+        # host-side per-item text work (TextGrid parse, sandhi, word
+        # structures) fans out across processes and OVERLAPS the chunk's
+        # batched device dispatch (reference wiring: chunked_multiprocess_run
+        # in base_binarizer.py:148-186); binarize_workers<=1 keeps the serial
+        # path. Default 'auto': fan out only when the corpus is big enough to
+        # amortize worker startup (spawn re-imports jax, seconds per worker).
+        requested = cfg.get("binarize_workers", "auto")
+        total_items = sum(len(r) for r in splits.values())
+        if requested in ("auto", None, ""):
+            n_workers = (
+                min(max((os.cpu_count() or 2) - 1, 1), 8) if total_items >= 64 else 1
+            )
+        else:
+            n_workers = int(requested)
+        pool = None
+        if n_workers > 1:
+            from dicttts_tpu.utils.multiprocess import MultiprocessManager
+
+            pool = MultiprocessManager(n_workers)
+        dict_path = cfg.get("dict_path", "data/zh-dict.json")
+        pos_merge = cfg.get("txt_processor", "zh_dict") == "zh_dict"
+        try:
+            for split, split_rows in splits.items():
+                builder = IndexedDatasetBuilder(os.path.join(out_dir, split))
+                lengths, f0_all = [], []
+                for start in range(0, len(split_rows), chunk_size):
+                    chunk = split_rows[start : start + chunk_size]
+                    loaded = []  # (row, wav, sr)
+                    for row in chunk:
+                        try:
+                            wav_fn = row[1]
+                            wav, sr = (
+                                load_wav(wav_fn)
+                                if isinstance(wav_fn, str)
+                                else (np.asarray(wav_fn, np.float32), sr_cfg)
+                            )
+                            loaded.append((row, wav, sr))
+                        except Exception as e:
+                            log.warning("skip %s (wav load): %s", row[0], e)
+                    if not loaded:
                         continue
-                    builder.add_item(item)
-                    lengths.append(item["len"])
-                    f0_all.append(item["f0"][item["f0"] > 0])
-            builder.finalize()
-            if split_rows and not lengths:
-                raise RuntimeError(
-                    f"binarize {split}: ALL {len(split_rows)} items failed — "
-                    "systemic error (see warnings above), refusing to write an empty split"
-                )
-            np.save(os.path.join(out_dir, f"{split}_lengths.npy"), np.asarray(lengths))
-            if f0_all:
-                f0_cat = np.concatenate(f0_all) if any(len(x) for x in f0_all) else np.zeros(1)
-                np.save(
-                    os.path.join(out_dir, f"{split}_f0s_mean_std.npy"),
-                    np.asarray([f0_cat.mean(), f0_cat.std()]),
-                )
-            log.info("binarized %s: %d items", split, len(lengths))
+                    if pool is not None:
+                        # submit text jobs BEFORE the device dispatch so the
+                        # workers run while the TPU computes mel/f0
+                        for row, wav, sr in loaded:
+                            tg = os.path.join(tg_dir, f"{row[0]}.TextGrid")
+                            tg_text = (
+                                open(tg, encoding="utf-8").read()
+                                if os.path.exists(tg) else None
+                            )
+                            pool.add_job(host_item_structures, (
+                                row[0], row[2], row[3].split(), tg_text,
+                                1 + len(wav) // hop, hop, sr, dict_path, pos_merge,
+                            ))
+                    feats = self._batched_features([w for _, w, _ in loaded], loaded[0][2])
+                    structs = (
+                        list(pool.get_results()) if pool is not None
+                        else [None] * len(loaded)
+                    )
+                    for (row, wav, sr), (mel, f0), structures in zip(loaded, feats, structs):
+                        item_name, text, ph_str = row[0], row[2], row[3]
+                        spk = row[4] if len(row) > 4 and row[4] else "<SINGLE_SPK>"
+                        tg = os.path.join(tg_dir, f"{item_name}.TextGrid")
+                        if pool is not None and structures is None:
+                            log.warning("skip %s: host-structure worker failed", item_name)
+                            continue
+                        try:
+                            item = self.process_item(
+                                item_name, row[1], text, ph_str.split(),
+                                tg if os.path.exists(tg) else None,
+                                ph_encoder, word_encoder,
+                                spk_id=spk_map.get(spk, 0),
+                                features=(wav, sr, mel, f0),
+                                structures=structures,
+                            )
+                        except Exception as e:  # skip broken items, keep the job alive
+                            log.warning("skip %s: %s", item_name, e)
+                            continue
+                        builder.add_item(item)
+                        lengths.append(item["len"])
+                        f0_all.append(item["f0"][item["f0"] > 0])
+                builder.finalize()
+                if split_rows and not lengths:
+                    raise RuntimeError(
+                        f"binarize {split}: ALL {len(split_rows)} items failed — "
+                        "systemic error (see warnings above), refusing to write an empty split"
+                    )
+                np.save(os.path.join(out_dir, f"{split}_lengths.npy"), np.asarray(lengths))
+                if f0_all:
+                    f0_cat = np.concatenate(f0_all) if any(len(x) for x in f0_all) else np.zeros(1)
+                    np.save(
+                        os.path.join(out_dir, f"{split}_f0s_mean_std.npy"),
+                        np.asarray([f0_cat.mean(), f0_cat.std()]),
+                    )
+                log.info("binarized %s: %d items", split, len(lengths))
+        finally:
+            if pool is not None:
+                pool.close()
         if cfg.get("use_dict", True):
             self.gen_dict_embeddings(word_encoder, out_dir)

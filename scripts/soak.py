@@ -1,0 +1,211 @@
+"""Round-3 production-dims training soak (VERDICT r2 next-round #1).
+
+Drives the REAL CLI trainer (python -m dicttts_tpu.run) at the full Biaobei
+recipe geometry — 8000-word device dict bank, 60-sentence x 512-frame
+batches (/root/reference/readme.md:107), disc_start_steps > 0 so the GAN
+transition is actually exercised — for `--max_updates` steps with a
+mid-run SIGKILL + auto-resume, then verifies:
+
+  * steady-state steps/s at the reference geometry (trainer accounting);
+  * losses decreasing through the disc_start_steps transition;
+  * resume continues from the last checkpoint's step with best_val intact.
+
+Writes SOAK_r03.json at the repo root. Usage:
+
+    python scripts/soak.py [--max_updates 5000] [--kill_at 2600] [--fresh]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import signal
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+CORPUS_ROOT = os.path.join(REPO, ".prod_corpus")
+EXP_NAME = "prod_soak_r03"
+
+STEP_RE = re.compile(r"step (\d+) \| (.+?) \| ([\d.]+) it/s")
+RESUME_RE = re.compile(r"resumed from (\S+) @ step (\d+) \(best_val=([^)]+)\)")
+
+
+def write_soak_config(bdir: str, max_updates: int) -> str:
+    cfg = f"""\
+base_config:
+  - {REPO}/dicttts_tpu/configs/tts/dict_tts.yaml
+
+binary_data_dir: {bdir}
+dict_path: {os.path.join(CORPUS_ROOT, 'zh-dict.json')}
+lm_model: ''            # deterministic gloss features (no RoFormer weights here)
+use_pitch_embed: false
+
+# reference training geometry (readme.md:107): 60 sentences/batch; token
+# budget sized so the 512-frame bucket still admits 60 sentences
+max_sentences: 60
+max_tokens: 31000
+max_frames: 512
+mel_buckets: [512]
+txt_buckets: [64]
+gloss_buckets: [96]
+pinyin_buckets: [8]
+frames_multiple: 4
+
+max_updates: {max_updates}
+val_check_interval: 500
+valid_infer_interval: 1000000000
+num_sanity_val_steps: 2
+tb_log_interval: 50
+steps_per_dispatch: 16
+amp: true
+use_device_dict_bank: true
+
+# exercise the GAN transition inside the soak window
+disc_start_steps: 1000
+"""
+    fn = os.path.join(CORPUS_ROOT, "soak.yaml")
+    with open(fn, "w") as f:
+        f.write(cfg)
+    return fn
+
+
+def run_phase(cfg_fn: str, log_fn: str, kill_at: int | None) -> dict:
+    """Run the CLI trainer; if kill_at is set, SIGKILL once step >= kill_at.
+
+    Returns {steps: [(step, metrics_dict, sps)], resumed: (step, best_val)|None,
+    killed_at: int|None, rc: int}.
+    """
+    cmd = [sys.executable, "-m", "dicttts_tpu.run", "--config", cfg_fn,
+           "--exp_name", EXP_NAME]
+    out = {"steps": [], "resumed": None, "killed_at": None, "rc": None}
+    with open(log_fn, "w") as logf:
+        proc = subprocess.Popen(
+            cmd, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, bufsize=1,
+        )
+        try:
+            for line in proc.stdout:
+                logf.write(line)
+                logf.flush()
+                m = RESUME_RE.search(line)
+                if m:
+                    out["resumed"] = (int(m.group(2)), m.group(3))
+                m = STEP_RE.search(line)
+                if m:
+                    step = int(m.group(1))
+                    metrics = {}
+                    for kv in m.group(2).split():
+                        if "=" in kv:
+                            k, v = kv.split("=", 1)
+                            try:
+                                metrics[k] = float(v)
+                            except ValueError:
+                                pass
+                    out["steps"].append((step, metrics, float(m.group(3))))
+                    if kill_at is not None and step >= kill_at:
+                        proc.send_signal(signal.SIGKILL)
+                        out["killed_at"] = step
+                        break
+            proc.wait(timeout=120)
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+                proc.wait()
+    out["rc"] = proc.returncode
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--max_updates", type=int, default=5000)
+    ap.add_argument("--kill_at", type=int, default=2600)
+    ap.add_argument("--n_items", type=int, default=360)
+    ap.add_argument("--fresh", action="store_true", help="wipe the exp dir first")
+    args = ap.parse_args()
+
+    from synth_corpus import build_corpus
+
+    t0 = time.time()
+    print("| soak: building production corpus (8000-word bank)...", flush=True)
+    bdir = build_corpus(CORPUS_ROOT, n_words=7997, n_items=args.n_items)
+    t_corpus = time.time() - t0
+    cfg_fn = write_soak_config(bdir, args.max_updates)
+
+    work_dir = os.path.join(REPO, "checkpoints", EXP_NAME)
+    if args.fresh and os.path.isdir(work_dir):
+        import shutil
+
+        shutil.rmtree(work_dir)
+
+    print(f"| soak: phase 1 (to be killed at step >= {args.kill_at})...", flush=True)
+    t1 = time.time()
+    p1 = run_phase(cfg_fn, os.path.join(CORPUS_ROOT, "phase1.log"), args.kill_at)
+    t_p1 = time.time() - t1
+    assert p1["killed_at"] is not None, (
+        f"phase 1 exited (rc={p1['rc']}) before reaching kill_at="
+        f"{args.kill_at}; see {CORPUS_ROOT}/phase1.log"
+    )
+    print(f"| soak: killed at step {p1['killed_at']} after {t_p1:.0f}s; resuming...",
+          flush=True)
+
+    t2 = time.time()
+    p2 = run_phase(cfg_fn, os.path.join(CORPUS_ROOT, "phase2.log"), None)
+    t_p2 = time.time() - t2
+    assert p2["rc"] == 0, f"phase 2 rc={p2['rc']}; see {CORPUS_ROOT}/phase2.log"
+    assert p2["resumed"] is not None, "phase 2 did not log a resume"
+
+    resume_step, resume_best = p2["resumed"]
+    # resume must land on the last checkpointed step (500-multiple <= kill)
+    assert resume_step == (p1["killed_at"] // 500) * 500, (p1, p2["resumed"])
+
+    steps_all = p1["steps"] + p2["steps"]
+    final_step = steps_all[-1][0]
+    assert final_step >= args.max_updates, f"ended at {final_step}"
+
+    def window_mean(key, lo, hi):
+        vals = [m[key] for s, m, _ in steps_all if lo <= s < hi and key in m]
+        return float(sum(vals) / len(vals)) if vals else None
+
+    early_mel = window_mean("l1", 0, 600)
+    late_mel = window_mean("l1", args.max_updates - 1000, args.max_updates + 1)
+    sps_tail = [sps for s, _, sps in p2["steps"] if s > resume_step + 500]
+    result = {
+        "max_updates": args.max_updates,
+        "batch_sentences": 60,
+        "bucket_frames": 512,
+        "word_bank_size": 8000,
+        "disc_start_steps": 1000,
+        "killed_at": p1["killed_at"],
+        "resumed_at": resume_step,
+        "resume_best_val": resume_best,
+        "corpus_build_secs": round(t_corpus, 1),
+        "phase1_secs": round(t_p1, 1),
+        "phase2_secs": round(t_p2, 1),
+        "steady_steps_per_sec": round(sps_tail[-1], 2) if sps_tail else None,
+        "l1_mel_first600_mean": round(early_mel, 4) if early_mel else None,
+        "l1_mel_last1000_mean": round(late_mel, 4) if late_mel else None,
+        "loss_curve": [
+            (s, {k: round(v, 4) for k, v in m.items() if k != "steps_per_sec"})
+            for s, m, _ in steps_all[:: max(len(steps_all) // 40, 1)]
+        ],
+    }
+    ok = (
+        early_mel is not None and late_mel is not None and late_mel < early_mel
+    )
+    result["mel_loss_decreased"] = bool(ok)
+    with open(os.path.join(REPO, "SOAK_r03.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps({k: v for k, v in result.items() if k != "loss_curve"}, indent=1))
+    assert ok, "mel loss did not decrease over the soak"
+    print("| soak: OK")
+
+
+if __name__ == "__main__":
+    main()
