@@ -46,6 +46,7 @@ class DictTTSInferencer:
         self.g2p = ZhG2P(
             cfg.get("dict_path", "data/zh-dict.json"),
             pos_merge=cfg.get("txt_processor", "zh_dict") == "zh_dict",
+            strict_nsw=bool(cfg.get("nsw_strict_reference", False)),
         )
         self.sandhi = SandhiProcessor(load_dict(cfg.get("dict_path", "data/zh-dict.json")))
         self.task = DictTTSTask(cfg)

@@ -136,6 +136,7 @@ class PreAlign:
         self.g2p = ZhG2P(
             cfg.get("dict_path", "data/zh-dict.json"),
             pos_merge=cfg.get("txt_processor", "zh_dict") == "zh_dict",
+            strict_nsw=bool(cfg.get("nsw_strict_reference", False)),
         )
 
     def meta_data(self):
@@ -260,6 +261,7 @@ class ZhBinarizer:
         self.g2p = ZhG2P(
             cfg.get("dict_path", "data/zh-dict.json"),
             pos_merge=cfg.get("txt_processor", "zh_dict") == "zh_dict",
+            strict_nsw=bool(cfg.get("nsw_strict_reference", False)),
         )
 
     # -- feature extraction ---------------------------------------------------

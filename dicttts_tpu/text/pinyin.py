@@ -158,9 +158,12 @@ class ZhG2P:
     pron_modified indices.
     """
 
-    def __init__(self, dict_path: str, pos_merge: bool = False):
+    def __init__(self, dict_path: str, pos_merge: bool = False, strict_nsw: bool = False):
         self.zh_dict = load_dict(dict_path)
         self.pos_merge = pos_merge
+        # strict_nsw: reference-exact NSW readings for eval-parity runs
+        # (cfg key nsw_strict_reference) — see text_norm.NSWNormalizer
+        self.strict_nsw = strict_nsw
 
     def char_phones(self, char: str) -> list[str]:
         prons = self.zh_dict.prons(char)
@@ -169,11 +172,10 @@ class ZhG2P:
         initial, final = pinyin_to_tone3(prons[0])
         return [p for p in (initial, final) if p]
 
-    @staticmethod
-    def preprocess(txt: str) -> str:
-        from dicttts_tpu.text.text_norm import normalize_text
+    def preprocess(self, txt: str) -> str:
+        from dicttts_tpu.text.text_norm import NSWNormalizer
 
-        txt = normalize_text(txt.strip())
+        txt = NSWNormalizer(txt.strip()).normalize(strict_reference=self.strict_nsw)
         txt = re.sub("[　 ]+", "", txt)
         return txt
 
