@@ -99,6 +99,15 @@ def main(argv=None):
     )
     args = parser.parse_args(argv)
 
+    # explicit platform override (this image's sitecustomize force-registers
+    # the axon TPU backend regardless of JAX_PLATFORMS; tests/smokes that
+    # must stay off the chip set DICTTTS_PLATFORM=cpu)
+    plat = os.environ.get("DICTTTS_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
     if args.multihost:
         import jax
 

@@ -23,9 +23,15 @@ def main(argv=None):
     from dicttts_tpu.config import load_config
 
     # offline pipeline: fall back to CPU when the accelerator backend is
-    # unavailable (e.g. JAX_PLATFORMS=axon set but plugin unregistered)
+    # unavailable (e.g. JAX_PLATFORMS=axon set but plugin unregistered);
+    # DICTTTS_PLATFORM forces a backend (the sitecustomize here pins axon
+    # regardless of JAX_PLATFORMS)
+    import os
+
     import jax
 
+    if os.environ.get("DICTTTS_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["DICTTTS_PLATFORM"])
     try:
         jax.devices()
     except Exception:

@@ -63,7 +63,7 @@ val_check_interval: 500
 valid_infer_interval: 1000000000
 num_sanity_val_steps: 2
 tb_log_interval: 50
-steps_per_dispatch: 16
+steps_per_dispatch: 8  # 16 OOMs the relay compile helper at the 60x512 GAN scan
 amp: true
 use_device_dict_bank: true
 
