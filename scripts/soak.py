@@ -56,6 +56,7 @@ mel_buckets: [512]
 txt_buckets: [64]
 gloss_buckets: [96]
 pinyin_buckets: [8]
+sentence_buckets: [60]   # ragged trailing batches pad to the full-batch graph
 frames_multiple: 4
 
 max_updates: {max_updates}

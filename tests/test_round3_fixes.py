@@ -214,3 +214,36 @@ def test_binarizer_multiprocess_fanout_equivalent(tmp_path):
                     "ph2word", "pron_modified"):
             np.testing.assert_array_equal(np.asarray(a[key]), np.asarray(b[key]), err_msg=key)
         np.testing.assert_allclose(a["mel"], b["mel"], atol=1e-6)
+
+
+def test_sentence_bucket_padding(tmp_path):
+    """cfg sentence_buckets pads ragged batches to one static shape with
+    zero (masked) rows, so trailing batches reuse the compiled graph."""
+    from dicttts_tpu.data.datasets import TTSBatchProvider
+
+    class _FakeDS:
+        sizes = [32] * 7
+        cfg = {}
+
+        class ds:  # no prefetch attr needed
+            pass
+
+        def __getitem__(self, i):
+            return {
+                "txt_tokens": np.arange(1, 9, dtype=np.int64),
+                "mels": np.ones((32, 4), np.float32),
+                "mel_lengths": np.int32(32),
+            }
+
+    cfg = {"max_sentences": 4, "max_tokens": 10**6, "sort_by_len": False,
+           "sentence_buckets": [4], "mel_buckets": [32], "txt_buckets": [8]}
+    provider = TTSBatchProvider(_FakeDS(), cfg, shuffle=False)
+    shapes = set()
+    for b in provider.train_batches():
+        b.pop("_meta", None)
+        shapes.add(b["mels"].shape)
+        n_real = int((b["mel_lengths"] > 0).sum())
+        # pad rows are all-zero and masked via zero lengths
+        assert np.all(b["mels"][n_real:] == 0)
+        assert np.all(b["txt_tokens"][n_real:] == 0)
+    assert shapes == {(4, 32, 4)}, shapes
