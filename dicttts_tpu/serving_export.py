@@ -151,3 +151,42 @@ class ExportedTTS:
         )
         out = fn.call(*args)
         return tuple(np.asarray(o)[:B] for o in out)
+
+
+def main(argv=None):
+    """CLI: export a trained experiment's serving artifact.
+
+    python -m dicttts_tpu.serving_export --config <cfg> --exp_name <exp> \
+        [--out <dir>] [--buckets 1x32,8x64]
+    """
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("--exp_name", required=True)
+    p.add_argument("--out", default="")
+    p.add_argument("--buckets", default="1x32,8x64")
+    args = p.parse_args(argv)
+
+    import jax
+
+    from dicttts_tpu.config import load_config
+    from dicttts_tpu.run import autoconfigure_vocabs
+    from dicttts_tpu.train.tasks.dict_tts import DictTTSTask
+    from dicttts_tpu.utils.checkpoint import get_last_checkpoint, restore_checkpoint
+
+    cfg = load_config(config=args.config, exp_name=args.exp_name, save=False, infer=True)
+    autoconfigure_vocabs(cfg)
+    cfg.pop("use_device_dict_bank", None)
+    task = DictTTSTask(cfg)
+    state = task.build_state(jax.random.PRNGKey(0))
+    last = get_last_checkpoint(cfg.get("work_dir", ""))
+    assert last, f"no checkpoint under {cfg.get('work_dir')!r}"
+    _, state = restore_checkpoint(last, state)
+    buckets = [tuple(map(int, b.split("x"))) for b in args.buckets.split(",")]
+    out = args.out or os.path.join(cfg["work_dir"], "export")
+    print(export_tts(cfg, state, buckets=buckets, out_dir=out))
+
+
+if __name__ == "__main__":
+    main()

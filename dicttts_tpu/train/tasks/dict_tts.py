@@ -242,7 +242,13 @@ class DictTTSTask(AdversarialTTSTask):
 
         from dicttts_tpu.utils import plot
 
-        out = jax.device_get(jax.jit(self.test_step)(state, batch, rng))
+        # cache the jitted infer fn on the task: a fresh jax.jit wrapper per
+        # validation misses the in-process executable cache and re-loads the
+        # compiled graph through the relay (~1 min per validation, measured
+        # in the r3 soak)
+        if not hasattr(self, "_jit_artifact_step"):
+            self._jit_artifact_step = jax.jit(self.test_step)
+        out = jax.device_get(self._jit_artifact_step(state, batch, rng))
         batch = jax.device_get(batch)
         n = int(np.asarray(batch["mel_lengths"])[0])
         n_pred = int((out["mel2word"][0] > 0).sum())
