@@ -15,8 +15,20 @@ intermediates stay in registers/VMEM. L and H should be 128-multiples for
 lane alignment — `pad_dict_msg` (below) pads L/P as an exact masked
 transform; H=192 is 1.5 lanes, acceptable.
 
-Used at inference (deterministic path) via S2PAAttention(use_pallas=...);
-training keeps the XLA einsum path (dropout on weights).
+Available at inference (deterministic path) via S2PAAttention(use_pallas=...);
+training always uses the XLA einsum path (dropout on weights).
+
+Measured on-chip A/B (bench.py `_bench_s2pa_ab`, TPU v5e, r3, long
+chains with RTT correction and hoist guards): XLA wins at every
+measured geometry — fused is 0.72x at [60,64,64,192], 0.56x at
+[60,64,128,192], 0.30x at the B=1 inference shape [1,38,24->128,192].
+The kernel's logits reduce is a VPU `sum(k*q)` while XLA maps the
+equivalent einsums onto the MXU and fuses the mask/softmax/scatter
+around them, so the fusion-saving this kernel provides does not pay on
+this chip. Hence `use_pallas_s2pa` defaults to FALSE and the kernel is
+kept (equivalence-tested) as an option for hardware where the balance
+differs. Earlier rounds' "5x at inference" figure was measurement noise
+(20-iteration chains: ~100 us of signal under ~ms relay RTT jitter).
 """
 
 from __future__ import annotations
