@@ -58,10 +58,12 @@ def _ensure_prod_corpus() -> str:
     return build_corpus(PROD_CORPUS, n_words=7997, n_items=360)
 
 
-def _bench_trainer(bdir: str) -> dict:
+def _bench_trainer(bdir: str, frame_cache: bool = True) -> dict:
     """Steps/s + MFU through the real data path at the REFERENCE training
     geometry: 60 sentences x 512-frame bucket (readme.md:107), 8000-word
-    device dict bank, full GAN step (disc active)."""
+    device dict bank, full GAN step (disc active). frame_cache=True is the
+    shipped configuration (device-resident [N,T,80] mel cache, batches
+    carry item_idx); False streams mels host->device for the A/B delta."""
     import jax
 
     from dicttts_tpu.data.datasets import TTSBatchProvider, TTSBinaryDataset
@@ -89,9 +91,13 @@ def _bench_trainer(bdir: str) -> dict:
         # the step gathers by word id — per-batch host->device traffic drops
         # from O(B*Tw*L*768) to the mel/token tensors
         "use_device_dict_bank": True,
+        # device-resident frame cache: the [N, 512, 80] corpus mel uploads
+        # once and the step gathers rows by item_idx — removes the dominant
+        # remaining host->device transfer (f16 mel, ~4.9 MB/step)
+        "use_device_frame_cache": frame_cache,
     })
     ds = TTSBinaryDataset(bdir, "train", cfg, kind="dict")
-    provider = TTSBatchProvider(ds, cfg, shuffle=True)
+    provider = TTSBatchProvider(ds, cfg, shuffle=True, emit_frame_refs=frame_cache)
     task = DictTTSTask(cfg, provider)
 
     # steady-state timing inside ONE run: the Trainer syncs after the first
@@ -131,7 +137,7 @@ def _bench_trainer(bdir: str) -> dict:
         if hasattr(v, "nbytes") or isinstance(v, np.ndarray)
     )
     compute_s = step_flops / peak
-    n_sent = int(np.shape(batch0["mels"])[0])
+    n_sent = int(np.shape(batch0.get("mels", batch0["word_tokens"]))[0])
     return {
         "train_steps_per_sec_real_data": round(1.0 / per_step, 2),
         "train_step_ms_real_data": round(per_step * 1000, 2),
@@ -364,9 +370,17 @@ def main():
     s2pa_extra = _bench_s2pa_ab(rtt)
 
     # trainer throughput through the real binarized-corpus data path at the
-    # reference geometry (60 x 512, 8000-word device bank)
+    # reference geometry (60 x 512, 8000-word device bank). Primary number:
+    # the shipped config with the device-resident frame cache; secondary:
+    # the host-streaming path, for the committed cache-vs-streaming delta.
     print("| bench: trainer on real data path (prod geometry)...", file=sys.stderr)
-    trainer_extra = _bench_trainer(_ensure_prod_corpus())
+    bdir = _ensure_prod_corpus()
+    trainer_extra = _bench_trainer(bdir, frame_cache=True)
+    print("| bench: trainer A/B without frame cache...", file=sys.stderr)
+    stream = _bench_trainer(bdir, frame_cache=False)
+    trainer_extra["train_step_ms_streaming"] = stream["train_step_ms_real_data"]
+    trainer_extra["train_steps_per_sec_streaming"] = stream["train_steps_per_sec_real_data"]
+    trainer_extra["train_host_bytes_per_step_mb_streaming"] = stream["train_host_bytes_per_step_mb"]
 
     result = {
         "metric": "text_to_wav_rtf",

@@ -126,6 +126,51 @@ class TTSBinaryDataset:
             bank["pinyin_map"][i] = 1
         return bank
 
+    def device_frame_cache(self, max_frames: int | None = None,
+                           mel_dtype=None) -> dict:
+        """Whole-split per-frame arrays for DEVICE residency.
+
+        The trainer's measured bottleneck at production geometry is the
+        host->device transfer of the mel (f16 60x512x80 ~ 4.9 MB/step over
+        a ~60 MB/s relay vs ~8 ms of ideal compute — bench.py r3), and on
+        real TPU VMs it is still the dominant input-pipeline byte volume.
+        Like the dict bank, the corpus' frame data is a fixed function of
+        the item id: upload [N, T, 80] once and let the jitted step gather
+        rows by item index — batches then carry int32 `item_idx` plus the
+        small index/length arrays, replacing PCIe/host traffic with an HBM
+        gather. Mels are stored in the collater's exact transfer dtype
+        (f16 under amp) so the cached path is bit-identical to the host
+        path. Returns {'mels' [N,T,80]} plus {'f0','uv' [N,T]} when
+        use_pitch_embed. HBM cost ~ N*T*82*2 bytes at f16 (Biaobei-scale
+        10k x 512 ~ 0.8 GB, well within a v5e's 16 GB).
+        """
+        cfg = self.cfg
+        T = int(max_frames or cfg.get("max_frames", 1548))
+        if mel_dtype is None:
+            mel_dtype = (
+                np.float16
+                if cfg.get("mel_transfer_f16", bool(cfg.get("amp")))
+                else np.float32
+            )
+        N = len(self.ds)
+        n_mels = int(cfg.get("audio_num_mel_bins", 80))
+        use_pitch = bool(cfg.get("use_pitch_embed"))
+        cache = {"mels": np.zeros((N, T, n_mels), mel_dtype)}
+        if use_pitch:
+            cache["f0"] = np.zeros((N, T), np.float32)
+            cache["uv"] = np.zeros((N, T), np.float32)
+        for i in range(N):
+            item = self.ds[i]
+            mel = np.asarray(item["mel"], np.float32)[:T]
+            cache["mels"][i, : len(mel)] = mel.astype(mel_dtype)
+            if use_pitch and "f0" in item:
+                f0, uv = norm_interp_f0(
+                    np.asarray(item["f0"])[: len(mel)], cfg.get("pitch_norm", "log")
+                )
+                cache["f0"][i, : len(f0)] = f0
+                cache["uv"][i, : len(uv)] = uv
+        return cache
+
     def _dict_bank(self, words: list) -> dict:
         """Assemble per-utterance dict-bank arrays for words[1:-1] (BOS/EOS
         rows become zero pads, key/pinyin maps pad with 1 as the reference
@@ -165,6 +210,7 @@ class TTSBinaryDataset:
         mel = np.asarray(item["mel"], np.float32)[:max_frames]
         T = len(mel)
         sample = {
+            "_idx": np.int32(index),
             "item_name": item.get("item_name", str(index)),
             "txt": item.get("txt", ""),
             "txt_tokens": np.asarray(item["phone"] if "phone" in item else item["txt_token"], np.int64)[
@@ -203,11 +249,18 @@ class TTSBatchProvider:
 
     NON_ARRAY_KEYS = ("item_name", "txt", "words", "tokens_gloss")
 
-    def __init__(self, dataset: TTSBinaryDataset, cfg: dict, shuffle: bool = True, devices_multiple: int = 1):
+    def __init__(self, dataset: TTSBinaryDataset, cfg: dict, shuffle: bool = True,
+                 devices_multiple: int = 1, emit_frame_refs: bool = False):
         self.ds = dataset
         self.cfg = cfg
         self.shuffle = shuffle
         self.devices_multiple = devices_multiple
+        # device-resident frame cache (use_device_frame_cache): this
+        # provider's batches carry int32 item_idx instead of the per-frame
+        # float tensors (mels/f0/uv); the task gathers them from the
+        # state-resident cache inside the jitted step. Set on the TRAIN
+        # provider only — validation/test stream normally.
+        self.emit_frame_refs = emit_frame_refs
 
     def _make_batches(self):
         sizes = self.ds.sizes
@@ -250,20 +303,26 @@ class TTSBatchProvider:
             "txt_tokens": collate_1d(
                 [s["txt_tokens"][:t_txt] for s in samples], max_len=t_txt, dtype=np.int32
             ),
-            "mels": collate_2d(
-                [s["mels"][:t_mel] for s in samples], max_len=t_mel, dtype=mel_dtype
-            ),
             "mel_lengths": np.asarray([min(int(s["mel_lengths"]), t_mel) for s in samples], np.int32),
             "txt_lengths": np.asarray([min(len(s["txt_tokens"]), t_txt) for s in samples], np.int32),
         }
+        if self.emit_frame_refs:
+            # frame tensors resolve on device from the item-indexed cache;
+            # mel2ph/mel2word stay host-side (small int32, and they carry
+            # the batch's T_mel bucket shape into the jitted step)
+            batch["item_idx"] = np.asarray([int(s["_idx"]) for s in samples], np.int32)
+        else:
+            batch["mels"] = collate_2d(
+                [s["mels"][:t_mel] for s in samples], max_len=t_mel, dtype=mel_dtype
+            )
+            for key in ("f0", "uv"):
+                if key in samples[0]:
+                    batch[key] = collate_1d([s[key][:t_mel] for s in samples], max_len=t_mel)
         for key in ("mel2ph", "mel2word"):
             if key in samples[0]:
                 batch[key] = collate_1d(
                     [s[key][:t_mel] for s in samples], max_len=t_mel, dtype=np.int32
                 )
-        for key in ("f0", "uv"):
-            if key in samples[0]:
-                batch[key] = collate_1d([s[key][:t_mel] for s in samples], max_len=t_mel)
         if "spk_ids" in samples[0]:
             batch["spk_ids"] = np.asarray([int(s["spk_ids"]) for s in samples], np.int32)
         batch["_meta"] = [
@@ -322,7 +381,10 @@ class TTSBatchProvider:
         buckets = self.cfg.get("sentence_buckets") or None
         if not buckets:
             return batch
-        n = int(np.shape(batch["mels"])[0])
+        # txt_tokens is present in both transfer modes (frame-ref batches
+        # carry item_idx instead of mels); pad rows are all-zero, so a
+        # padded item_idx gathers item 0's (masked-out) frames — harmless
+        n = int(np.shape(batch["txt_tokens"])[0])
         fit = [b for b in sorted(buckets) if b >= n]
         if not fit or fit[0] == n:
             return batch

@@ -24,9 +24,24 @@ class SyntheticDictTTSProvider:
         pinyin_vocab: int = 20,
         max_frames: int = 48,
         seed: int = 0,
+        emit_frame_refs: bool = False,
     ):
         rng = np.random.RandomState(seed)
         self.batch_size = batch_size
+        # mirror TTSBatchProvider's device-frame-cache contract: batches
+        # carry item_idx, and tasks resolve mels from .ds.device_frame_cache
+        self.emit_frame_refs = emit_frame_refs
+        self.max_frames = max_frames
+        if emit_frame_refs:
+            provider = self
+
+            class _DS:
+                def device_frame_cache(self, max_frames=None, mel_dtype=np.float16):
+                    T = int(max_frames or provider.max_frames)
+                    mels = np.stack([it["mels"][:T] for it in provider.items])
+                    return {"mels": mels.astype(mel_dtype)}
+
+            self.ds = _DS()
         self.items = []
         # a fixed toy dictionary: every word has 2 senses, 3 gloss tokens each
         self.gloss_bank = rng.randn(word_vocab, l_gloss, embed_dim).astype(np.float32)
@@ -76,7 +91,11 @@ class SyntheticDictTTSProvider:
             chunk = items[i : i + self.batch_size]
             if not chunk:
                 continue
-            yield {k: np.stack([it[k] for it in chunk]) for k in chunk[0]}
+            batch = {k: np.stack([it[k] for it in chunk]) for k in chunk[0]}
+            if self.emit_frame_refs:
+                batch.pop("mels")
+                batch["item_idx"] = np.arange(i, i + len(chunk), dtype=np.int32)
+            yield batch
 
     def train_batches(self):
         return self._batches(self.items)

@@ -58,6 +58,9 @@ def build_data_provider(cfg: dict, task_cls_name: str, mesh_size: int):
             self.train = TTSBatchProvider(
                 TTSBinaryDataset(data_dir, cfg.get("train_set_name", "train"), cfg, kind),
                 cfg, shuffle=True, devices_multiple=mesh_size,
+                # device-resident frame cache: train batches carry item_idx
+                # only; the task gathers mels/f0/uv from HBM by item id
+                emit_frame_refs=bool(cfg.get("use_device_frame_cache")),
             )
             self.valid = TTSBatchProvider(
                 TTSBinaryDataset(data_dir, cfg.get("valid_set_name", "valid"), cfg, kind),

@@ -131,8 +131,49 @@ class AdversarialTTSTask:
     def prepare_batch(self, state, batch):
         """Hook: tasks may attach state-resident constants (e.g. the device
         dict bank) to the batch before the loss closures see it. The base
-        implementation upcasts f16 transfer-format leaves to f32."""
+        implementation resolves frame tensors from the device-resident
+        frame cache (use_device_frame_cache: batches carry item_idx; mels
+        and f0/uv gather from the [N, T, ...] cache by item id — an HBM
+        gather instead of the dominant host->device transfer) and upcasts
+        f16 transfer-format leaves to f32."""
+        if "_const_frame_cache" in state and "item_idx" in batch:
+            batch = dict(batch)
+            idx = batch.pop("item_idx")
+            cache = state["_const_frame_cache"]
+            # the batch's T_mel bucket rides on the host-side alignment
+            # array (mel2word for word/dict tasks, mel2ph for ph tasks)
+            align = batch.get("mel2word", batch.get("mel2ph"))
+            T = align.shape[-1]
+            batch["mels"] = jnp.take(cache["mels"], idx, axis=0)[:, :T]
+            for k in ("f0", "uv"):
+                if k in cache:
+                    batch[k] = jnp.take(cache[k], idx, axis=0)[:, :T]
         return upcast_transfer_dtypes(batch)
+
+    def attach_device_frame_cache(self, state):
+        """build_state helper: upload the train split's per-frame arrays
+        once as '_const_frame_cache' (carried through steps donation-aliased
+        in place, excluded from checkpoints — same contract as the device
+        dict bank)."""
+        if not self.cfg.get("use_device_frame_cache"):
+            return state
+        ds = getattr(getattr(self, "data", None), "ds", None)
+        if ds is None or not hasattr(ds, "device_frame_cache"):
+            # the train provider already emits item_idx-only batches when
+            # the flag is set, so running without the cache would KeyError
+            # inside jit — fail loudly at construction instead
+            raise ValueError(
+                "use_device_frame_cache=true but the data provider exposes "
+                "no .ds.device_frame_cache (wrap providers like run.py's "
+                "_Splits with a .ds alias, or unset the flag)"
+            )
+        state["_const_frame_cache"] = {
+            k: jnp.asarray(v)
+            for k, v in ds.device_frame_cache(
+                max_frames=self.cfg.get("max_frames")
+            ).items()
+        }
+        return state
 
     def _train_step_inner(self, state, batch, rng):
         batch = self.prepare_batch(state, batch)

@@ -124,7 +124,7 @@ class DictTTSTask(AdversarialTTSTask):
                     max_pinyin=cfg.get("device_bank_max_pinyin"),
                 ).items()
             }
-        return state
+        return self.attach_device_frame_cache(state)
 
     def prepare_batch(self, state, batch):
         batch = super().prepare_batch(state, batch)

@@ -21,6 +21,14 @@ class FastSpeech2Task:
     def __init__(self, cfg, data=None):
         self.cfg = cfg
         self.data = data
+        if cfg.get("use_device_frame_cache"):
+            # the train provider emits item_idx-only batches under this
+            # flag, and this task has no cache-resolution hook (it lives in
+            # AdversarialTTSTask.prepare_batch) — fail at construction, not
+            # with a KeyError inside jit
+            raise ValueError(
+                "use_device_frame_cache is not supported by FastSpeech2Task"
+            )
         self.mel_loss_spec = L.parse_mel_loss_spec(cfg.get("mel_loss", "l1"))
         self.lambda_dur = cfg.get("lambda_dur", 1.0)
         self.lambda_pitch = cfg.get("lambda_pitch", 1.0)

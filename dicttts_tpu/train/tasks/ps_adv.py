@@ -60,13 +60,13 @@ class PortaSpeechAdvTask(AdversarialTTSTask):
             tgt_mels=jnp.zeros((1, Tm, 80)),
         )["params"]
         params_d = self._init_disc_params(r3)
-        return {
+        return self.attach_device_frame_cache({
             "params_g": params_g,
             "params_d": params_d,
             "opt_g": self.tx_g.init(params_g),
             "opt_d": self.tx_d.init(params_d),
             "step": jnp.zeros((), jnp.int32),
-        }
+        })
 
     def _run_model(self, params_g, batch, rng, train: bool, infer: bool = False):
         rngs = {"sample": jax.random.fold_in(rng, 0), "dropout": jax.random.fold_in(rng, 1)}

@@ -67,6 +67,7 @@ tb_log_interval: 50
 steps_per_dispatch: 8  # 16 OOMs the relay compile helper at the 60x512 GAN scan
 amp: true
 use_device_dict_bank: true
+use_device_frame_cache: true  # shipped fast path: item_idx batches + HBM gather
 
 # exercise the GAN transition inside the soak window
 disc_start_steps: 1000
