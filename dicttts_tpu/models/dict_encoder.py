@@ -36,8 +36,24 @@ import jax
 import jax.numpy as jnp
 
 from dicttts_tpu.models.layers import RelTransformerLayers
+from dicttts_tpu.ops.amp import cdtype
 
 S2PA_MASK_VALUE = -1e9  # reference mask_logits uses -1e9
+
+
+class _DenseKernel(nn.Module):
+    """Bias-free Dense whose kernel is used EXPLICITLY for reassociated
+    matmuls. Param path matches nn.Dense ('<name>/kernel', [in, out]) so the
+    torch converter and checkpoints are unaffected."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.in_features, self.features)
+        )
 
 
 class DictMsg(NamedTuple):
@@ -151,27 +167,39 @@ class S2PAAttention(nn.Module):
         # x: [B, T, H]
         keys, values, key_map, pinyin, pinyin_map = dict_msg
         H = self.query_size
-        q = nn.Dense(H, use_bias=False, name="q")(x)  # [B, T, H]
-        k = nn.Dense(H, use_bias=False, name="k")(keys)  # [B, T, L_k, H]
-        v = nn.Dense(H, use_bias=False, name="v")(values)
+        E = keys.shape[-1]
+        q = nn.Dense(H, use_bias=False, name="q", dtype=cdtype())(x)  # [B, T, H]
+        # k/v kernels are applied REASSOCIATED on the XLA path: projecting
+        # the gathered [B,T,L,E] bank to H costs B*T*L*E*H flops per side,
+        # while q->E + an E-length contraction costs B*T*E*H + B*T*L*E —
+        # ~2x fewer flops at E=768, H=192, and no [B,T,L,H] intermediates.
+        # Exact same math (sum reassociation only); param paths unchanged.
+        w_k = _DenseKernel(E, H, name="k")()
+        w_v = _DenseKernel(E, H, name="v")()
         # reference parity: scale by key_size^-0.5 (not query size)
         q = q * self.key_size**-0.5
 
         if self.use_pallas and deterministic and self.sense_mode == "token":
             from dicttts_tpu.ops.s2pa_pallas import pad_dict_msg, s2pa_fused
 
+            k = jnp.einsum("btle,eh->btlh", keys, w_k)
+            v = jnp.einsum("btle,eh->btlh", values, w_v)
             L, P = key_map.shape[-1], pinyin_map.shape[-1]
             k_p, v_p, km_p, _, pm_p = pad_dict_msg(k, v, key_map, pinyin, pinyin_map)
             context, weights, pron_weights = s2pa_fused(q, k_p, v_p, km_p, pm_p)
             weights, pron_weights = weights[..., :L], pron_weights[..., :P]
             align = weights
         else:
-            logits = jnp.einsum("btlh,bth->btl", k, q)
+            keys = keys.astype(q.dtype)
+            values = values.astype(q.dtype)
+            q_e = jnp.einsum("bth,eh->bte", q, w_k.astype(q.dtype))  # q in bank space
+            logits = jnp.einsum("btle,bte->btl", keys, q_e).astype(jnp.float32)
             logits = jnp.where(key_map != 0, logits, S2PA_MASK_VALUE)
-            weights = jax.nn.softmax(logits, axis=-1)  # [B, T, L_k]
+            weights = jax.nn.softmax(logits, axis=-1)  # [B, T, L_k], f32
             align = weights  # attention over gloss tokens, for diagnostics
             weights_d = nn.Dropout(self.dropout_rate)(weights, deterministic=deterministic)
-            context = jnp.einsum("btl,btlh->bth", weights_d, v)
+            ctx_e = jnp.einsum("btl,btle->bte", weights_d.astype(values.dtype), values)
+            context = jnp.einsum("bte,eh->bth", ctx_e, w_v.astype(ctx_e.dtype))
             if self.sense_mode == "token":
                 pron_weights = sense_remap(weights_d, key_map, pinyin_map)
             else:
@@ -186,15 +214,16 @@ class S2PAAttention(nn.Module):
                     weights_d, key_map, pinyin_map, self.max_senses,
                     mode=self.sense_mode, temperature=self.gumbel_temperature, rng=rng,
                 )
-        context = nn.Dense(H, use_bias=False, name="out")(context)
+        context = nn.Dense(H, use_bias=False, name="out", dtype=cdtype())(context)
 
         # pronunciation head
         pinyin_emb = nn.Embed(
-            self.pinyin_vocab, H, embedding_init=nn.initializers.normal(H**-0.5), name="pinyin_embedding"
+            self.pinyin_vocab, H, embedding_init=nn.initializers.normal(H**-0.5), name="pinyin_embedding",
+            dtype=cdtype(),
         )(pinyin) * (pinyin != 0).astype(x.dtype)[..., None]  # padding_idx=0
         if pron_modified is not None:
             pron_weights = apply_pron_rule(pron_weights, pinyin_map, pron_modified)
-        pron = jnp.einsum("btp,btph->bth", pron_weights, pinyin_emb)
+        pron = jnp.einsum("btp,btph->bth", pron_weights.astype(pinyin_emb.dtype), pinyin_emb)
         return context, align, pron, pron_weights
 
 
@@ -228,7 +257,8 @@ class S2PATextEncoder(nn.Module):
     ):
         H = self.hidden_channels
         x = nn.Embed(
-            self.word_vocab, H, embedding_init=nn.initializers.normal(H**-0.5), name="word_emb"
+            self.word_vocab, H, embedding_init=nn.initializers.normal(H**-0.5), name="word_emb",
+            dtype=cdtype(),
         )(word_tokens) * math.sqrt(H)
         x_mask = (word_tokens > 0).astype(x.dtype)[:, :, None]
         x = RelTransformerLayers(
@@ -264,7 +294,6 @@ class DictEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, word_tokens, dict_msg, pron_modified=None, deterministic: bool = True):
-        nonpadding = (word_tokens > 0).astype(jnp.float32)[:, :, None]
         x, dict_attn, pron_attn, context = S2PATextEncoder(
             self.word_vocab,
             self.hidden_size,
@@ -278,4 +307,5 @@ class DictEncoder(nn.Module):
             max_senses=self.max_senses,
             name="s2pa_module",
         )(word_tokens, dict_msg, pron_modified, deterministic)
+        nonpadding = (word_tokens > 0).astype(x.dtype)[:, :, None]
         return x * nonpadding, dict_attn, pron_attn, context

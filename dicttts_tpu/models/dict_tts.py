@@ -139,8 +139,9 @@ class DictTTS(nn.Module):
         ret["mel2word"] = mel2word
         ret["x_mask"] = tgt_nonpadding
 
-        # gather word states to frames
-        g = gather_expand(x, mel2word) * tgt_nonpadding
+        # gather word states to frames (mask in the activation dtype so a
+        # bf16 encoder output doesn't silently promote the FVAE path to f32)
+        g = gather_expand(x, mel2word) * tgt_nonpadding.astype(x.dtype)
         ret["decoder_inp"] = g
 
         if infer:
@@ -154,5 +155,6 @@ class DictTTS(nn.Module):
                 x=tgt_mels, x_mask=tgt_nonpadding, g=g, infer=False,
                 deterministic=deterministic, noise_scale=noise_scale,
             )
-        ret["mel_out"] = ret["mel_out_fvae"] = mel_out * tgt_nonpadding
+        # mel output and everything downstream (losses, disc) stay f32
+        ret["mel_out"] = ret["mel_out_fvae"] = mel_out.astype(jnp.float32) * tgt_nonpadding
         return ret

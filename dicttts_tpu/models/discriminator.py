@@ -22,12 +22,15 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from dicttts_tpu.ops.amp import cdtype
+
 
 def instance_norm_2d(x: jnp.ndarray, gamma, beta, eps: float = 1e-5) -> jnp.ndarray:
-    """Normalize [B, H, W, C] per (H, W) per channel."""
-    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-    var = jnp.var(x, axis=(1, 2), keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * gamma + beta
+    """Normalize [B, H, W, C] per (H, W) per channel (stats in f32)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+    var = jnp.var(xf, axis=(1, 2), keepdims=True)
+    return ((xf - mean) * jax.lax.rsqrt(var + eps) * gamma + beta).astype(x.dtype)
 
 
 class Disc2DBlockStack(nn.Module):
@@ -50,7 +53,7 @@ class Disc2DBlockStack(nn.Module):
         h = x[:, :, :, None]
         feats = []
         for i in range(3):
-            h = nn.Conv(self.hidden_size, (3, 3), strides=(2, 2), padding=1, name=f"conv_{i}")(h)
+            h = nn.Conv(self.hidden_size, (3, 3), strides=(2, 2), padding=1, name=f"conv_{i}", dtype=cdtype())(h)
             h = nn.leaky_relu(h, 0.2)
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
             if i > 0 and self.norm_type == "in":

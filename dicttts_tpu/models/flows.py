@@ -14,6 +14,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from dicttts_tpu.models.wavenet import WN
+from dicttts_tpu.ops.amp import compute_dtype
 
 
 class ConditionalConvBlocks(nn.Module):
@@ -102,6 +103,15 @@ class ResidualCouplingBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, x_mask, g=None, reverse: bool = False, deterministic: bool = True):
+        # f32 island: flow numerics are the classic bf16 hazard (module
+        # docstring) — shield from any outer bf16 activation context and
+        # upcast conditioning that arrives in bf16
+        with compute_dtype(None):
+            return self._flow(x.astype(jnp.float32), x_mask.astype(jnp.float32),
+                              None if g is None else g.astype(jnp.float32),
+                              reverse, deterministic)
+
+    def _flow(self, x, x_mask, g, reverse, deterministic):
         layers = [
             ResidualCouplingLayer(
                 self.channels,

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from dicttts_tpu.models.flows import ResidualCouplingBlock
 from dicttts_tpu.models.wavenet import WN
+from dicttts_tpu.ops.amp import cdtype
 
 LOG2PI = math.log(2 * math.pi)
 
@@ -55,6 +56,7 @@ class StridedPreNet(nn.Module):
                 strides=(s,),
                 padding=[(s // 2, s // 2)],
                 name=f"conv_{i}",
+                dtype=cdtype(),
             )(x)
         return x
 
@@ -69,7 +71,8 @@ class TransposedPreNet(nn.Module):
     def __call__(self, x):
         for i, s in enumerate(self.strides):
             x = nn.ConvTranspose(
-                self.hidden_channels, (s,), strides=(s,), padding="VALID", name=f"deconv_{i}"
+                self.hidden_channels, (s,), strides=(s,), padding="VALID", name=f"deconv_{i}",
+                dtype=cdtype(),
             )(x)
         return x
 
@@ -89,12 +92,12 @@ class FVAEEncoder(nn.Module):
         for s in self.strides:
             stride *= s
         x = StridedPreNet(self.hidden_channels, self.strides)(x)
-        x_mask_sqz = x_mask[:, ::stride][:, : x.shape[1]]
+        x_mask_sqz = x_mask[:, ::stride][:, : x.shape[1]].astype(x.dtype)
         x = x * x_mask_sqz
         x = WN(self.hidden_channels, self.kernel_size, 1, self.n_layers, self.gin_channels)(
             x, x_mask_sqz, g, deterministic
         ) * x_mask_sqz
-        stats = nn.Conv(2 * self.latent_channels, (1,), name="out_proj")(x)
+        stats = nn.Conv(2 * self.latent_channels, (1,), name="out_proj", dtype=cdtype())(x)
         m = stats[..., : self.latent_channels].astype(jnp.float32)
         logs = stats[..., self.latent_channels :].astype(jnp.float32)
         eps = jax.random.normal(self.make_rng("sample"), m.shape, dtype=jnp.float32)
@@ -114,11 +117,12 @@ class FVAEDecoder(nn.Module):
     def __call__(self, z, x_mask, g, deterministic: bool = True):
         # z: [B, T_sqz, C_lat]; x_mask: [B, T, 1] (or scalar 1.0); g: [B, T, C_g]
         x = TransposedPreNet(self.hidden_channels, self.strides)(z)
+        x_mask = jnp.asarray(x_mask, x.dtype) if hasattr(x_mask, "astype") else x_mask
         x = x * x_mask
         x = WN(self.hidden_channels, self.kernel_size, 1, self.n_layers, self.gin_channels)(
             x, x_mask, g, deterministic
         ) * x_mask
-        return nn.Conv(self.out_channels, (1,), name="out_proj")(x)
+        return nn.Conv(self.out_channels, (1,), name="out_proj", dtype=cdtype())(x)
 
 
 class FVAE(nn.Module):
@@ -185,18 +189,19 @@ class FVAE(nn.Module):
         if not infer:
             z_q, m_q, logs_q, x_mask_sqz = self.encoder(x, x_mask, g_sqz, deterministic, noise_scale)
             x_recon = self.decoder(z_q, x_mask, g, deterministic)
+            mask_f32 = x_mask_sqz.astype(jnp.float32)  # KL reductions stay f32
             if self.use_prior_flow:
                 logqx = normal_log_prob(z_q, m_q, logs_q)
                 z_p = self.prior_flow(
-                    z_q.astype(jnp.float32), x_mask_sqz, g_sqz, deterministic=deterministic
+                    z_q.astype(jnp.float32), mask_f32, g_sqz, deterministic=deterministic
                 )
                 logpx = standard_normal_log_prob(z_p)
-                loss_kl = jnp.sum((logqx - logpx) * x_mask_sqz) / jnp.maximum(
-                    jnp.sum(x_mask_sqz), 1.0
+                loss_kl = jnp.sum((logqx - logpx) * mask_f32) / jnp.maximum(
+                    jnp.sum(mask_f32), 1.0
                 ) / logqx.shape[-1]
             else:
                 kl = normal_kl_to_standard(m_q, logs_q)
-                loss_kl = jnp.sum(kl * x_mask_sqz) / jnp.maximum(jnp.sum(x_mask_sqz), 1.0) / z_q.shape[-1]
+                loss_kl = jnp.sum(kl * mask_f32) / jnp.maximum(jnp.sum(mask_f32), 1.0) / z_q.shape[-1]
                 z_p = None
             return x_recon, loss_kl, z_p, m_q, logs_q
         else:

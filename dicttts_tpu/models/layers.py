@@ -27,6 +27,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from dicttts_tpu.ops.amp import cdtype
+
 MASK_VALUE = -1e4  # reference masks attention scores with -1e4
 
 
@@ -69,12 +71,15 @@ class LayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        mean = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-        x = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        # statistics in f32 (bf16 mean/var loses ~3 decimal digits); the
+        # result is cast back to the incoming activation dtype
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        xf = (xf - mean) * jax.lax.rsqrt(var + self.eps)
         gamma = self.param("gamma", nn.initializers.ones, (x.shape[-1],))
         beta = self.param("beta", nn.initializers.zeros, (x.shape[-1],))
-        return x * gamma + beta
+        return (xf * gamma + beta).astype(x.dtype)
 
 
 class ConvReluNorm(nn.Module):
@@ -91,14 +96,16 @@ class ConvReluNorm(nn.Module):
     @nn.compact
     def __call__(self, x, x_mask, deterministic: bool = True):
         # x: [B, T, C]; x_mask: [B, T, 1]
+        x_mask = x_mask.astype(x.dtype)
         x_org = x
         for _ in range(self.n_layers):
-            x = nn.Conv(self.hidden_channels, (self.kernel_size,), padding="SAME")(x * x_mask)
+            x = nn.Conv(self.hidden_channels, (self.kernel_size,), padding="SAME", dtype=cdtype())(x * x_mask)
             x = LayerNorm()(x)
             x = nn.relu(x)
             x = nn.Dropout(self.p_dropout)(x, deterministic=deterministic)
         proj = nn.Conv(
-            self.out_channels, (1,), kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros
+            self.out_channels, (1,), kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
+            dtype=cdtype(),
         )
         return (x_org + proj(x)) * x_mask
 
@@ -115,13 +122,14 @@ class ConvFFN(nn.Module):
 
     @nn.compact
     def __call__(self, x, x_mask, deterministic: bool = True):
-        x = nn.Conv(self.filter_channels, (self.kernel_size,), padding="SAME")(x * x_mask)
+        x_mask = x_mask.astype(x.dtype)
+        x = nn.Conv(self.filter_channels, (self.kernel_size,), padding="SAME", dtype=cdtype())(x * x_mask)
         if self.activation == "gelu":
             x = x * jax.nn.sigmoid(1.702 * x)
         else:
             x = nn.relu(x)
         x = nn.Dropout(self.p_dropout)(x, deterministic=deterministic)
-        x = nn.Conv(self.out_channels, (1,))(x * x_mask)
+        x = nn.Conv(self.out_channels, (1,), dtype=cdtype())(x * x_mask)
         return x * x_mask
 
 
@@ -144,33 +152,34 @@ class RelMultiHeadAttention(nn.Module):
         B, T, C = x.shape
         H = self.n_heads
         d = C // H
-        q = nn.Dense(C, name="q")(x).reshape(B, T, H, d).transpose(0, 2, 1, 3)
-        k = nn.Dense(C, name="k")(x).reshape(B, T, H, d).transpose(0, 2, 1, 3)
-        v = nn.Dense(C, name="v")(x).reshape(B, T, H, d).transpose(0, 2, 1, 3)
+        q = nn.Dense(C, name="q", dtype=cdtype())(x).reshape(B, T, H, d).transpose(0, 2, 1, 3)
+        k = nn.Dense(C, name="k", dtype=cdtype())(x).reshape(B, T, H, d).transpose(0, 2, 1, 3)
+        v = nn.Dense(C, name="v", dtype=cdtype())(x).reshape(B, T, H, d).transpose(0, 2, 1, 3)
 
-        scores = jnp.einsum("bhid,bhjd->bhij", q, k) / math.sqrt(d)
+        scores = jnp.einsum("bhid,bhjd->bhij", q, k).astype(jnp.float32) / math.sqrt(d)
         if self.window_size is not None:
             n_rel = 2 * self.window_size + 1
             rel_k = self.param(
                 "rel_k", nn.initializers.normal(d**-0.5), (1, n_rel, d)
             )
-            rel_band = jnp.einsum("bhid,xmd->bhim", q, rel_k) / math.sqrt(d)
+            rel_band = jnp.einsum("bhid,xmd->bhim", q, rel_k.astype(q.dtype)).astype(jnp.float32) / math.sqrt(d)
             scores = scores + band_to_full(rel_band, T)
         if attn_mask is not None:
             if attn_mask.ndim == 3:
                 attn_mask = attn_mask[:, None]
             scores = jnp.where(attn_mask == 0, MASK_VALUE, scores)
+        # softmax statistics stay f32 under bf16 activations
         p_attn = jax.nn.softmax(scores, axis=-1)
         p_attn = nn.Dropout(self.p_dropout)(p_attn, deterministic=deterministic)
-        out = jnp.einsum("bhij,bhjd->bhid", p_attn, v)
+        out = jnp.einsum("bhij,bhjd->bhid", p_attn.astype(v.dtype), v)
         if self.window_size is not None:
             rel_v = self.param(
                 "rel_v", nn.initializers.normal(d**-0.5), (1, 2 * self.window_size + 1, d)
             )
             band_w = full_to_band(p_attn, self.window_size)
-            out = out + jnp.einsum("bhim,xmd->bhid", band_w, rel_v)
+            out = out + jnp.einsum("bhim,xmd->bhid", band_w.astype(v.dtype), rel_v.astype(v.dtype))
         out = out.transpose(0, 2, 1, 3).reshape(B, T, C)
-        return nn.Dense(C, name="out")(out)
+        return nn.Dense(C, name="out", dtype=cdtype())(out)
 
 
 class RelTransformerLayers(nn.Module):
@@ -190,6 +199,7 @@ class RelTransformerLayers(nn.Module):
     def __call__(self, x, x_mask, deterministic: bool = True):
         # x: [B, T, C]; x_mask: [B, T, 1]
         attn_mask = (x_mask[:, :, 0])[:, None, :] * (x_mask[:, :, 0])[:, :, None]  # [B, T, T]
+        x_mask = x_mask.astype(x.dtype)
         for _ in range(self.n_layers):
             x = x * x_mask
             res = x
@@ -236,8 +246,8 @@ class RelTransformerEncoder(nn.Module):
     def __call__(self, tokens, deterministic: bool = True):
         # tokens: [B, T] int (0 = pad) -> [B, T, H]
         H = self.hidden_channels
-        emb = nn.Embed(self.n_vocab, H, embedding_init=nn.initializers.normal(H**-0.5))
-        x = emb(tokens) * math.sqrt(H)
+        emb = nn.Embed(self.n_vocab, H, embedding_init=nn.initializers.normal(H**-0.5), dtype=cdtype())
+        x = emb(tokens) * math.sqrt(H)  # python scalar: dtype-preserving
         x_mask = (tokens > 0).astype(x.dtype)[:, :, None]
         if self.prenet:
             x = ConvReluNorm(H, H, kernel_size=5, n_layers=3, p_dropout=0.0)(

@@ -199,7 +199,7 @@ class PortaSpeech(nn.Module):
         )
         x, attn = self._word_frame_attention(ph_enc, word_enc, ph2word, mel2word, word2word)
         ret["attn"] = attn
-        x = (x + spk) * tgt_nonpadding
+        x = (x + spk) * tgt_nonpadding.astype(x.dtype)
         ret["decoder_inp"] = x
 
         if infer:
@@ -210,7 +210,7 @@ class PortaSpeech(nn.Module):
             mel_out, ret["kl"], ret["z_p"], ret["m_q"], ret["logs_q"] = self.fvae(
                 x=tgt_mels, x_mask=tgt_nonpadding, g=x, deterministic=deterministic
             )
-        ret["mel_out"] = ret["mel_out_fvae"] = mel_out * tgt_nonpadding
+        ret["mel_out"] = ret["mel_out_fvae"] = mel_out.astype(jnp.float32) * tgt_nonpadding
 
         if self.use_post_glow:
             self._run_post_glow(ret, tgt_nonpadding, tgt_mels, infer, deterministic)

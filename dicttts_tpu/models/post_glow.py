@@ -205,6 +205,11 @@ class Glow(nn.Module):
         reverse: bool = False,
         deterministic: bool = True,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        from dicttts_tpu.ops.amp import compute_dtype
+        with compute_dtype(None):  # f32 island (exact log-dets)
+            return self._glow(x, x_mask, g, reverse, deterministic)
+
+    def _glow(self, x, x_mask, g, reverse, deterministic):
         x = jnp.asarray(x, jnp.float32)
         # squeeze() silently DROPS the trailing frames for T % n_sqz != 0
         # and the round trip returns fewer frames than it was given — fail

@@ -14,6 +14,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from dicttts_tpu.ops.amp import cdtype
+
 
 def gated_unit(x_in: jnp.ndarray, g_l: jnp.ndarray, hidden: int) -> jnp.ndarray:
     a = x_in + g_l
@@ -34,8 +36,11 @@ class WN(nn.Module):
         H = self.hidden_channels
         if x_mask is None:
             x_mask = jnp.ones_like(x[..., :1])
+        if cdtype() is not None:
+            x = x.astype(cdtype())
+        x_mask = x_mask.astype(x.dtype)
         if g is not None:
-            g = nn.Conv(2 * H * self.n_layers, (1,), name="cond")(g)
+            g = nn.Conv(2 * H * self.n_layers, (1,), name="cond", dtype=cdtype())(g)
         output = jnp.zeros_like(x)
         for i in range(self.n_layers):
             dilation = self.dilation_rate**i
@@ -45,15 +50,16 @@ class WN(nn.Module):
                 kernel_dilation=(dilation,),
                 padding="SAME",
                 name=f"in_{i}",
+                dtype=cdtype(),
             )(x)
             x_in = nn.Dropout(self.p_dropout)(x_in, deterministic=deterministic)
             g_l = g[..., i * 2 * H : (i + 1) * 2 * H] if g is not None else jnp.zeros_like(x_in)
             acts = gated_unit(x_in, g_l, H)
             if i < self.n_layers - 1:
-                res_skip = nn.Conv(2 * H, (1,), name=f"res_skip_{i}")(acts)
+                res_skip = nn.Conv(2 * H, (1,), name=f"res_skip_{i}", dtype=cdtype())(acts)
                 x = (x + res_skip[..., :H]) * x_mask
                 output = output + res_skip[..., H:]
             else:
-                res_skip = nn.Conv(H, (1,), name=f"res_skip_{i}")(acts)
+                res_skip = nn.Conv(H, (1,), name=f"res_skip_{i}", dtype=cdtype())(acts)
                 output = output + res_skip
         return output * x_mask

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 import optax
 
 from dicttts_tpu.models.discriminator import MultiWindowDiscriminator
+from dicttts_tpu.ops.amp import compute_dtype, task_activation_dtype
 from dicttts_tpu.utils.schedulers import rsqrt_schedule, step_decay_schedule
 
 
@@ -43,6 +44,9 @@ class AdversarialTTSTask:
         # bf16 MXU policy (reference AMP analog): matmuls/convs in bf16 with
         # f32 accumulation + f32 params; flows/KL stay f32 (models/flows.py)
         self.matmul_precision = "bfloat16" if cfg.get("amp") else None
+        # true-amp: bf16 ACTIVATIONS through the hot modules (ops/amp.py) —
+        # halves HBM traffic vs f32-activations-with-bf16-matmuls
+        self.act_dtype = task_activation_dtype(cfg)
         self.lambda_adv = cfg.get("lambda_mel_adv", 0.05)
         self.disc_start_steps = cfg.get("disc_start_steps", 0)
         self.disc_interval = cfg.get("disc_interval", 1)
@@ -122,11 +126,21 @@ class AdversarialTTSTask:
         loss_f = jnp.mean(jnp.square(out_f["y"]) * wv)
         return loss_r + loss_f, {"r": loss_r, "f": loss_f}
 
-    def train_step(self, state, batch, rng):
+    def _amp_scope(self):
+        """Trace-time scope combining the bf16 matmul policy and the bf16
+        activation dtype (both no-ops when amp is off)."""
+        import contextlib
+
+        scope = contextlib.ExitStack()
         if self.matmul_precision:
-            with jax.default_matmul_precision(self.matmul_precision):
-                return self._train_step_inner(state, batch, rng)
-        return self._train_step_inner(state, batch, rng)
+            scope.enter_context(jax.default_matmul_precision(self.matmul_precision))
+        if self.act_dtype is not None:
+            scope.enter_context(compute_dtype(self.act_dtype))
+        return scope
+
+    def train_step(self, state, batch, rng):
+        with self._amp_scope():
+            return self._train_step_inner(state, batch, rng)
 
     def prepare_batch(self, state, batch):
         """Hook: tasks may attach state-resident constants (e.g. the device
@@ -219,10 +233,11 @@ class AdversarialTTSTask:
         return new_state, metrics
 
     def val_step(self, state, batch, rng):
-        batch = self.prepare_batch(state, batch)
-        _, (losses, _) = self._gen_losses(
-            state["params_g"], state["params_d"], batch, rng, train=False
-        )
+        with self._amp_scope():
+            batch = self.prepare_batch(state, batch)
+            _, (losses, _) = self._gen_losses(
+                state["params_g"], state["params_d"], batch, rng, train=False
+            )
         losses = dict(losses)
         losses["total_loss"] = sum(losses.values())
         return losses

@@ -116,9 +116,18 @@ class DictTTSTask(AdversarialTTSTask):
         }
         if self.use_device_bank:
             # _const_ prefix: carried through steps untouched (donation
-            # aliases it in place) and excluded from checkpoints
+            # aliases it in place) and excluded from checkpoints. Under bf16
+            # activations the float banks (gloss keys/values) are stored
+            # bf16: the S2PA einsums consume them in bf16 anyway, and the
+            # [B,Tw,L,768] per-step HBM gather halves its byte volume.
+            def _bank_dtype(v):
+                v = jnp.asarray(v)
+                if self.act_dtype is not None and v.dtype == jnp.float32:
+                    return v.astype(self.act_dtype)
+                return v
+
             state["_const_dict_bank"] = {
-                k: jnp.asarray(v)
+                k: _bank_dtype(v)
                 for k, v in self.data.ds.device_bank(
                     max_gloss=cfg.get("device_bank_max_gloss"),
                     max_pinyin=cfg.get("device_bank_max_pinyin"),
@@ -276,16 +285,17 @@ class DictTTSTask(AdversarialTTSTask):
         for PER scoring (reference dict_tts.py:294-311)."""
         batch = self.prepare_batch(state, batch)
         dm = _dict_msg(batch)
-        out = self.model.apply(
-            {"params": state["params_g"]},
-            batch["word_tokens"],
-            dm,
-            batch.get("pron_modified"),
-            spk_ids=batch.get("spk_ids"),
-            infer=True,
-            max_frames=self.infer_max_frames,
-            rngs={"sample": rng},
-        )
+        with self._amp_scope():
+            out = self.model.apply(
+                {"params": state["params_g"]},
+                batch["word_tokens"],
+                dm,
+                batch.get("pron_modified"),
+                spk_ids=batch.get("spk_ids"),
+                infer=True,
+                max_frames=self.infer_max_frames,
+                rngs={"sample": rng},
+            )
         # reference decode (tasks/tts/dict_tts.py:300-304): argmax position
         # over the pinyin axis, then emit the TWO tokens [max_idx:max_idx+2]
         # — the (initial, final) pair of the winning sense (every sense

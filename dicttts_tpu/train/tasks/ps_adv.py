@@ -101,5 +101,6 @@ class PortaSpeechAdvTask(AdversarialTTSTask):
 
     def test_step(self, state, batch, rng):
         batch = self.prepare_batch(state, batch)
-        out = self._run_model(state["params_g"], batch, rng, train=False, infer=True)
+        with self._amp_scope():
+            out = self._run_model(state["params_g"], batch, rng, train=False, infer=True)
         return {"mel_out": out["mel_out"], "mel2word": out["mel2word"], "attn": out["attn"]}
