@@ -58,7 +58,8 @@ def _ensure_prod_corpus() -> str:
     return build_corpus(PROD_CORPUS, n_words=7997, n_items=360)
 
 
-def _bench_trainer(bdir: str, frame_cache: bool = True) -> dict:
+def _bench_trainer(bdir: str, frame_cache: bool = True, k_dispatch: int = 8,
+                   max_updates: int = 160) -> dict:
     """Steps/s + MFU through the real data path at the REFERENCE training
     geometry: 60 sentences x 512-frame bucket (readme.md:107), 8000-word
     device dict bank, full GAN step (disc active). frame_cache=True is the
@@ -109,9 +110,9 @@ def _bench_trainer(bdir: str, frame_cache: bool = True) -> dict:
     # k=8: the 16-step scanned group OOMs the relay's compile helper at
     # this geometry (measured; scripts/soak.py note).
     trainer = Trainer(
-        work_dir="", max_updates=160, val_check_interval=10**9,
-        num_sanity_val_steps=0, steps_per_dispatch=8, tb_log_interval=10**9,
-        eval_max_batches=1,
+        work_dir="", max_updates=max_updates, val_check_interval=10**9,
+        num_sanity_val_steps=0, steps_per_dispatch=k_dispatch,
+        tb_log_interval=10**9, eval_max_batches=1,
     )
     final_state = trainer.fit(task)
     assert trainer.steady_per_step_s is not None, (

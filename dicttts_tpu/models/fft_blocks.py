@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dicttts_tpu.models.layers import LayerNorm, RelMultiHeadAttention
+from dicttts_tpu.ops.amp import cdtype
 
 
 def sinusoidal_positions(length: int, dim: int, offset: int = 1) -> np.ndarray:
@@ -61,11 +62,14 @@ class FFTBlocks(nn.Module):
     @nn.compact
     def __call__(self, x, nonpadding: Optional[jnp.ndarray] = None, deterministic: bool = True):
         # x: [B, T, C]; nonpadding: [B, T]
+        if cdtype() is not None:
+            x = x.astype(cdtype())
         if nonpadding is None:
-            nonpadding = (jnp.sum(jnp.abs(x), axis=-1) > 0).astype(x.dtype)
+            nonpadding = (jnp.sum(jnp.abs(x), axis=-1) > 0)
+        nonpadding = nonpadding.astype(x.dtype)
         mask = nonpadding[:, :, None]
         if self.use_pos_embed:
-            x = x + SinusoidalPosEmb(self.hidden_size)(nonpadding)
+            x = x + SinusoidalPosEmb(self.hidden_size)(nonpadding).astype(x.dtype)
             x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         attn_mask = nonpadding[:, None, :] * nonpadding[:, :, None]
         for i in range(self.n_layers):
@@ -79,12 +83,12 @@ class FFTBlocks(nn.Module):
             x = (res + h) * mask
             res = x
             h = LayerNorm(name=f"ln2_{i}")(x)
-            h = nn.Conv(self.hidden_size * 4, (self.ffn_kernel_size,), padding="SAME", name=f"ffn1_{i}")(h * mask)
+            h = nn.Conv(self.hidden_size * 4, (self.ffn_kernel_size,), padding="SAME", name=f"ffn1_{i}", dtype=cdtype())(h * mask)
             if self.ffn_act == "gelu":
                 h = nn.gelu(h)
             else:
                 h = nn.relu(h)
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-            h = nn.Dense(self.hidden_size, name=f"ffn2_{i}")(h)
+            h = nn.Dense(self.hidden_size, name=f"ffn2_{i}", dtype=cdtype())(h)
             x = (res + h) * mask
         return LayerNorm(name="ln_out")(x) * mask

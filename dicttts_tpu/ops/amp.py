@@ -56,3 +56,31 @@ def task_activation_dtype(cfg: dict):
     if cfg.get("amp_bf16_activations", bool(cfg.get("amp"))):
         return jnp.bfloat16
     return None
+
+
+def amp_scope(matmul_precision, act_dtype):
+    """Trace-time scope combining the bf16 matmul policy and the bf16
+    activation dtype (both no-ops when None)."""
+    import jax
+
+    scope = contextlib.ExitStack()
+    if matmul_precision:
+        scope.enter_context(jax.default_matmul_precision(matmul_precision))
+    if act_dtype is not None:
+        scope.enter_context(compute_dtype(act_dtype))
+    return scope
+
+
+def cast_params(params, dtype):
+    """Param-cast-at-use mixed precision for modules that hold explicit
+    f32 params (e.g. HiFi-GAN's lax.conv weights): cast the float leaves to
+    the compute dtype inside the loss. The cast is differentiable, so grads
+    arrive back in f32 against the f32 master params. No-op when dtype is
+    None."""
+    if dtype is None:
+        return params
+    import jax
+
+    return jax.tree.map(
+        lambda p: p.astype(dtype) if p.dtype == jnp.float32 else p, params
+    )

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import optax
 
 from dicttts_tpu.models.discriminator import MultiWindowDiscriminator
-from dicttts_tpu.ops.amp import compute_dtype, task_activation_dtype
+from dicttts_tpu.ops.amp import amp_scope, task_activation_dtype
 from dicttts_tpu.utils.schedulers import rsqrt_schedule, step_decay_schedule
 
 
@@ -129,14 +129,7 @@ class AdversarialTTSTask:
     def _amp_scope(self):
         """Trace-time scope combining the bf16 matmul policy and the bf16
         activation dtype (both no-ops when amp is off)."""
-        import contextlib
-
-        scope = contextlib.ExitStack()
-        if self.matmul_precision:
-            scope.enter_context(jax.default_matmul_precision(self.matmul_precision))
-        if self.act_dtype is not None:
-            scope.enter_context(compute_dtype(self.act_dtype))
-        return scope
+        return amp_scope(self.matmul_precision, self.act_dtype)
 
     def train_step(self, state, batch, rng):
         with self._amp_scope():

@@ -11,6 +11,7 @@ import jax.numpy as jnp
 import optax
 
 from dicttts_tpu.models.fastspeech2 import FastSpeech2
+from dicttts_tpu.ops.amp import amp_scope, task_activation_dtype
 from dicttts_tpu.ops.seq import mel2token_to_dur
 from dicttts_tpu.train import losses as L
 from dicttts_tpu.train.tasks.adv_base import upcast_transfer_dtypes
@@ -29,6 +30,11 @@ class FastSpeech2Task:
             raise ValueError(
                 "use_device_frame_cache is not supported by FastSpeech2Task"
             )
+        # amp: bf16 matmul policy + bf16 activations through the FFT
+        # encoder/decoder blocks (fft_blocks.py reads cdtype()); predictor
+        # glue, masks and losses stay f32 via flax dtype promotion
+        self.matmul_precision = "bfloat16" if cfg.get("amp") else None
+        self.act_dtype = task_activation_dtype(cfg)
         self.mel_loss_spec = L.parse_mel_loss_spec(cfg.get("mel_loss", "l1"))
         self.lambda_dur = cfg.get("lambda_dur", 1.0)
         self.lambda_pitch = cfg.get("lambda_pitch", 1.0)
@@ -120,26 +126,29 @@ class FastSpeech2Task:
 
     def train_step(self, state, batch, rng):
         batch = upcast_transfer_dtypes(batch)
-        (loss, losses), grads = jax.value_and_grad(self._losses, has_aux=True)(
-            state["params_g"], batch, rng, True
-        )
+        with amp_scope(self.matmul_precision, self.act_dtype):
+            (loss, losses), grads = jax.value_and_grad(self._losses, has_aux=True)(
+                state["params_g"], batch, rng, True
+            )
         updates, opt = self.tx.update(grads, state["opt_g"], state["params_g"])
         params = optax.apply_updates(state["params_g"], updates)
         losses["total_loss"] = loss
         return {"params_g": params, "opt_g": opt, "step": state["step"] + 1}, losses
 
     def val_step(self, state, batch, rng):
-        loss, losses = self._losses(state["params_g"], upcast_transfer_dtypes(batch), rng, False)
+        with amp_scope(self.matmul_precision, self.act_dtype):
+            loss, losses = self._losses(state["params_g"], upcast_transfer_dtypes(batch), rng, False)
         losses["total_loss"] = loss
         return losses
 
     def test_step(self, state, batch, rng):
-        out = self.model.apply(
-            {"params": state["params_g"]},
-            batch["txt_tokens"],
-            infer=True,
-            max_frames=self.infer_max_frames,
-        )
+        with amp_scope(self.matmul_precision, self.act_dtype):
+            out = self.model.apply(
+                {"params": state["params_g"]},
+                batch["txt_tokens"],
+                infer=True,
+                max_frames=self.infer_max_frames,
+            )
         return {"mel_out": out["mel_out"], "mel2ph": out["mel2ph"]}
 
     def train_batches(self) -> Iterable[dict]:

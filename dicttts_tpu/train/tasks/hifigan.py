@@ -24,6 +24,7 @@ from dicttts_tpu.models.hifigan import (
     discriminator_adv_loss,
     generator_adv_loss,
 )
+from dicttts_tpu.ops.amp import amp_scope, cast_params, task_activation_dtype
 from dicttts_tpu.ops.mel import gan_log_mel
 from dicttts_tpu.train.losses import feature_matching_loss
 from dicttts_tpu.train.stft_loss import multi_resolution_stft_loss
@@ -34,6 +35,12 @@ class HifiGanTask:
     def __init__(self, cfg, data=None):
         self.cfg = cfg
         self.data = data
+        # amp: bf16 MXU matmuls + bf16 activations via param-cast-at-use
+        # (the G/D conv stacks hold explicit lax.conv params, so the
+        # compute dtype follows the cast params). Losses (log-mel L1, STFT,
+        # LSGAN, feature matching) always compute in f32.
+        self.matmul_precision = "bfloat16" if cfg.get("amp") else None
+        self.act_dtype = task_activation_dtype(cfg)
         self.lambda_mel = cfg.get("lambda_mel", 5.0)
         self.lambda_adv = cfg.get("lambda_adv", 1.0)
         self.use_fm = cfg.get("use_fm_loss", False)
@@ -89,12 +96,23 @@ class HifiGanTask:
         }
 
     def _disc_scores(self, params_d, wav):
+        # discriminators run in the activation dtype; scores/fmaps return
+        # f32 so every loss reduction stays full precision
+        params_d = cast_params(params_d, self.act_dtype)
+        if self.act_dtype is not None:
+            wav = wav.astype(self.act_dtype)
         s_p, f_p = self.mpd.apply({"params": params_d["mpd"]}, wav)
         s_s, f_s = self.msd.apply({"params": params_d["msd"]}, wav)
-        return s_p + s_s, f_p + f_s
+        to32 = lambda t: jax.tree.map(lambda x: x.astype(jnp.float32), t)
+        return to32(s_p + s_s), to32(f_p + f_s)
 
     def _gen_losses(self, params_g, params_d, batch, step, train: bool):
-        wav_fake = self.gen.apply({"params": params_g}, batch["mels"])
+        mels = batch["mels"]
+        if self.act_dtype is not None:
+            mels = mels.astype(self.act_dtype)
+        wav_fake = self.gen.apply(
+            {"params": cast_params(params_g, self.act_dtype)}, mels
+        ).astype(jnp.float32)
         wav_real = batch["wavs"]
         losses = {
             "mel": self.lambda_mel
@@ -118,6 +136,10 @@ class HifiGanTask:
         return discriminator_adv_loss(scores_r, scores_f)
 
     def train_step(self, state, batch, rng):
+        with amp_scope(self.matmul_precision, None):
+            return self._train_step_inner(state, batch, rng)
+
+    def _train_step_inner(self, state, batch, rng):
         step = state["step"]
         (loss_g, (g_losses, wav_fake)), grads_g = jax.value_and_grad(self._gen_losses, has_aux=True)(
             state["params_g"], state["params_d"], batch, step, True
@@ -145,7 +167,10 @@ class HifiGanTask:
         return new_state, {**g_losses, "total_loss": loss_g, "disc_loss": loss_d}
 
     def val_step(self, state, batch, rng):
-        _, (losses, _) = self._gen_losses(state["params_g"], state["params_d"], batch, state["step"], False)
+        with amp_scope(self.matmul_precision, None):
+            _, (losses, _) = self._gen_losses(
+                state["params_g"], state["params_d"], batch, state["step"], False
+            )
         losses["total_loss"] = sum(losses.values())
         return losses
 
