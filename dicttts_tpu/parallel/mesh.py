@@ -41,16 +41,19 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
     """
     sharding = batch_sharding(mesh, axis)
 
-    def put(x):
+    def spec(x):
         x = np.asarray(x)
         if x.ndim == 0:
-            return jax.device_put(x, replicated(mesh))
+            return x, replicated(mesh)
         assert x.shape[0] % mesh.size == 0, (
             f"batch dim {x.shape[0]} not divisible by mesh size {mesh.size}"
         )
-        return jax.device_put(x, sharding)
+        return x, sharding
 
-    return jax.tree.map(put, batch)
+    # ONE batched device_put for the whole tree: per-leaf puts each pay a
+    # fixed host->device issuance fee (large through this sandbox's relay)
+    arrays, shardings = _unzip_tree(batch, spec)
+    return jax.device_put(arrays, shardings)
 
 
 def shard_stacked_batches(stacked: dict, mesh: Mesh, axis: str = "data") -> dict:
@@ -61,16 +64,26 @@ def shard_stacked_batches(stacked: dict, mesh: Mesh, axis: str = "data") -> dict
     losing data parallelism on the hot path."""
     sharding = NamedSharding(mesh, P(None, axis))
 
-    def put(x):
+    def spec(x):
         x = np.asarray(x)
         if x.ndim <= 1:  # [K] scalars-per-step: replicate
-            return jax.device_put(x, replicated(mesh))
+            return x, replicated(mesh)
         assert x.shape[1] % mesh.size == 0, (
             f"batch dim {x.shape[1]} not divisible by mesh size {mesh.size}"
         )
-        return jax.device_put(x, sharding)
+        return x, sharding
 
-    return jax.tree.map(put, stacked)
+    arrays, shardings = _unzip_tree(stacked, spec)
+    return jax.device_put(arrays, shardings)
+
+
+def _unzip_tree(tree: Any, spec) -> tuple:
+    """Map `spec(leaf) -> (array, sharding)` over a pytree, returning the
+    (arrays, shardings) pytree pair device_put accepts in one batched call."""
+    pairs = jax.tree.map(spec, tree, is_leaf=lambda x: not isinstance(x, dict))
+    arrays = jax.tree.map(lambda p: p[0], pairs, is_leaf=lambda x: isinstance(x, tuple))
+    shardings = jax.tree.map(lambda p: p[1], pairs, is_leaf=lambda x: isinstance(x, tuple))
+    return arrays, shardings
 
 
 def pad_batch_to_devices(batch: dict, n_devices: int) -> dict:

@@ -125,15 +125,31 @@ class Trainer:
             log.info("resumed from %s @ step %d (best_val=%s)", last, self.global_step, best)
         state = replicate_state(state, self.mesh)
 
-        train_step = jax.jit(task.train_step, donate_argnums=(0,))
         k = self.steps_per_dispatch
+        # per-step rngs derive INSIDE the jit from (base key, global step):
+        # the host issues zero jax.random dispatches per group (each tiny op
+        # through this environment's relay costs a fixed issuance fee —
+        # CLAUDE.md), and the stream is a pure function of the step, so a
+        # kill+resume continues the exact rng sequence of an uninterrupted
+        # run. Same reason the scan's last-step metrics slice lives in-jit:
+        # a host-side tree.map(x[-1]) would issue one device op per metric.
+        train_base_rng = jax.random.PRNGKey(self.seed + 1)
 
-        def multi_step_fn(state, batches, rngs):
+        def single_step_fn(state, batch, rng, step_idx):
+            return task.train_step(state, batch, jax.random.fold_in(rng, step_idx))
+
+        def multi_step_fn(state, batches, rng, step_idx):
+            n = jax.tree.leaves(batches)[0].shape[0]
+            rngs = jax.random.split(jax.random.fold_in(rng, step_idx), n)
+
             def body(st, inp):
                 b, r = inp
                 return task.train_step(st, b, r)
-            return jax.lax.scan(body, state, (batches, rngs))
 
+            state, metrics = jax.lax.scan(body, state, (batches, rngs))
+            return state, jax.tree.map(lambda x: x[-1], metrics)
+
+        train_step = jax.jit(single_step_fn, donate_argnums=(0,))
         multi_step = jax.jit(multi_step_fn, donate_argnums=(0,))
         val_step = jax.jit(task.val_step)
 
@@ -141,24 +157,21 @@ class Trainer:
         if self.num_sanity_val_steps > 0 and self.global_step == 0:
             self._evaluate(task, state, val_step, rng, max_batches=self.num_sanity_val_steps, sanity=True)
 
-        def _run_group(state, group, rng):
+        def _run_group(state, group):
             """Dispatch a list of same-shape batches as one scanned jit call
-            (or a single step when the group has one batch)."""
+            (or a single step when the group has one batch). Rng derives
+            in-jit from the pre-group global step (unique per group — groups
+            advance the step by len(group) >= 1)."""
+            step_idx = np.int32(self.global_step)
             if len(group) == 1:
-                rng, step_rng = jax.random.split(rng)
                 b = shard_batch(pad_batch_to_devices(group[0], self.mesh.size), self.mesh)
-                state, metrics = train_step(state, b, step_rng)
+                state, metrics = train_step(state, b, train_base_rng, step_idx)
             else:
-                rng, sub = jax.random.split(rng)
-                stacked = {
-                    key: np.stack([pad_batch_to_devices(b, self.mesh.size)[key] for b in group])
-                    for key in group[0]
-                }
+                padded = [pad_batch_to_devices(b, self.mesh.size) for b in group]
+                stacked = {key: np.stack([p[key] for p in padded]) for key in group[0]}
                 stacked = shard_stacked_batches(stacked, self.mesh)
-                rngs = jax.random.split(sub, len(group))
-                state, metrics = multi_step(state, stacked, rngs)
-                metrics = jax.tree.map(lambda x: x[-1], metrics)
-            return state, metrics, rng
+                state, metrics = multi_step(state, stacked, train_base_rng, step_idx)
+            return state, metrics
 
         # throughput accounting: the first dispatch absorbs tracing, the
         # compile (or compile-cache load) and the initial transfer, so the
@@ -199,7 +212,7 @@ class Trainer:
                 else:
                     requeue = []
                 n_ran = len(group)
-                state, metrics, rng = _run_group(state, group, rng)
+                state, metrics = _run_group(state, group)
                 self.global_step += n_ran
                 steps_done += n_ran
                 group = requeue

@@ -105,6 +105,45 @@ def test_steady_state_none_for_single_dispatch(tmp_path):
     assert trainer.steady_per_step_s is None
 
 
+class RngAccTask(StubTask):
+    """Loss folds the per-step rng into an accumulator so the trainer's rng
+    stream is observable in checkpointed state."""
+
+    def build_state(self, rng):
+        return {"acc": jnp.zeros(()), "step": jnp.zeros((), jnp.int32)}
+
+    def train_step(self, state, batch, rng):
+        r = jax.random.normal(rng, ())
+        return (
+            {"acc": state["acc"] + r, "step": state["step"] + 1},
+            {"total_loss": jnp.mean(batch["x"]) + 0 * r},
+        )
+
+
+def test_rng_stream_resume_stable(tmp_path):
+    """Per-step rngs derive from (base key, global step) inside the jit, so
+    a kill+resume continues the EXACT rng sequence of an uninterrupted run:
+    the rng accumulator after 2+2 resumed steps equals 4 straight steps.
+    Covers both the single-step path (k=1) and the scanned-group path (k=2,
+    resuming from a val-interval group boundary)."""
+    for k, tag in ((1, "a"), (2, "b")):
+        def make(workdir, max_updates):
+            return Trainer(
+                work_dir=workdir, max_updates=max_updates, val_check_interval=2,
+                num_sanity_val_steps=0, mesh=make_mesh(1), seed=7,
+                steps_per_dispatch=k,
+            )
+
+        shapes = ((4, 8),) * 4
+        straight = make(str(tmp_path / f"straight_{tag}"), 4).fit(RngAccTask(shapes))
+        resumed_dir = str(tmp_path / f"resumed_{tag}")
+        make(resumed_dir, 2).fit(RngAccTask(shapes))
+        resumed = make(resumed_dir, 4).fit(RngAccTask(shapes))
+        np.testing.assert_array_equal(
+            jax.device_get(straight["acc"]), jax.device_get(resumed["acc"])
+        )
+
+
 def test_prefetch_iterator_order_and_errors():
     from dicttts_tpu.utils.prefetch import prefetch_iterator
 
