@@ -62,6 +62,7 @@ class TTSBinaryDataset:
             else [len(self.ds[i]["mel"]) for i in range(len(self.ds))]
         )
         self._dict_ds: Optional[IndexedDataset] = None
+        self._light_cache: dict = {}
         self._word_encoder: Optional[TokenTextEncoder] = None
         self._pinyin_list: Optional[list] = None
         if kind == "dict" and cfg.get("use_dict", True):
@@ -170,6 +171,22 @@ class TTSBinaryDataset:
                 cache["f0"][i, : len(f0)] = f0
                 cache["uv"][i, : len(uv)] = uv
         return cache
+
+    def light_item(self, index: int) -> dict:
+        """Memoized token-level sample for frame-ref batches (the
+        use_device_frame_cache data path): the per-frame float tensors
+        (mels/f0/uv) live in the device cache, so collate only needs the
+        small index/length arrays — re-deserializing the full record (mel
+        bytes dominate it) every epoch would make the host collate the
+        trainer bottleneck at production geometry. First access pays the
+        decode; later epochs serve from memory (~10 KB/item)."""
+        cached = self._light_cache.get(index)
+        if cached is None:
+            s = self[index]
+            for k in ("mels", "f0", "uv"):
+                s.pop(k, None)
+            self._light_cache[index] = cached = s
+        return cached
 
     def _dict_bank(self, words: list) -> dict:
         """Assemble per-utterance dict-bank arrays for words[1:-1] (BOS/EOS
@@ -283,7 +300,10 @@ class TTSBatchProvider:
         txt_b = tuple(cfg.get("txt_buckets", ())) or None
         mel_b = tuple(cfg.get("mel_buckets", ())) or None
         t_txt = shape_bucket(max(len(s["txt_tokens"]) for s in samples), 16, txt_b)
-        t_mel = shape_bucket(max(s["mels"].shape[0] for s in samples), 64, mel_b)
+        # mel_lengths == the truncated mel's length (dataset __getitem__), so
+        # the bucket is identical whether or not the sample carries the mel
+        # (light_item drops it in frame-ref mode)
+        t_mel = shape_bucket(max(int(s["mel_lengths"]) for s in samples), 64, mel_b)
         fm = cfg.get("frames_multiple", 1)
         t_mel = ((t_mel + fm - 1) // fm) * fm
         # shape_bucket may return its LAST bucket for oversized items — the
@@ -318,10 +338,19 @@ class TTSBatchProvider:
             for key in ("f0", "uv"):
                 if key in samples[0]:
                     batch[key] = collate_1d([s[key][:t_mel] for s in samples], max_len=t_mel)
-        for key in ("mel2ph", "mel2word"):
+        # frame-ref mode: the dict/word tasks consume only mel2word and the
+        # ph-level tasks only mel2ph — skip the other one (a [B, T_mel] int
+        # array is the batch's biggest remaining transfer), and ship as
+        # int16 (word/ph indices < 32768 by the txt bucket bound; the task
+        # upcasts in-jit, adv_base.upcast_transfer_dtypes)
+        align_keys = ("mel2ph", "mel2word")
+        if self.emit_frame_refs and "mel2word" in samples[0]:
+            align_keys = ("mel2word",)
+        align_dtype = np.int16 if self.emit_frame_refs else np.int32
+        for key in align_keys:
             if key in samples[0]:
                 batch[key] = collate_1d(
-                    [s[key][:t_mel] for s in samples], max_len=t_mel, dtype=np.int32
+                    [s[key][:t_mel] for s in samples], max_len=t_mel, dtype=align_dtype
                 )
         if "spk_ids" in samples[0]:
             batch["spk_ids"] = np.asarray([int(s["spk_ids"]) for s in samples], np.int32)
@@ -405,7 +434,10 @@ class TTSBatchProvider:
                 continue
             if can_prefetch and n + 1 < len(batches):
                 self.ds.ds.prefetch(batches[n + 1])  # warm next batch's pages
-            yield self._pad_sentence_bucket(self.collate([self.ds[i] for i in idx_batch]))
+            get = self.ds.light_item if (
+                self.emit_frame_refs and hasattr(self.ds, "light_item")
+            ) else self.ds.__getitem__
+            yield self._pad_sentence_bucket(self.collate([get(i) for i in idx_batch]))
 
     def train_batches(self):
         return self._iter()

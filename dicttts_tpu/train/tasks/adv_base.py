@@ -24,16 +24,19 @@ def _select_tree(cond, new_tree, old_tree):
 
 
 def upcast_transfer_dtypes(batch: dict) -> dict:
-    """Upcast float16 leaves (the collater's reduced-precision transfer
-    format for the mel under the amp policy, data/datasets.py) back to
-    float32 on device — runs inside jit, so it costs one fused cast, not a
-    second transfer."""
-    return {
-        k: v.astype(jnp.float32)
-        if hasattr(v, "dtype") and v.dtype == jnp.float16
-        else v
-        for k, v in batch.items()
-    }
+    """Upcast reduced-precision transfer leaves back to compute dtypes on
+    device — float16 (the collater's mel transfer format under amp) to
+    float32, int16 (frame-ref alignment arrays) to int32. Runs inside jit,
+    so it costs one fused cast, not a second transfer."""
+    def up(v):
+        if hasattr(v, "dtype"):
+            if v.dtype == jnp.float16:
+                return v.astype(jnp.float32)
+            if v.dtype == jnp.int16:
+                return v.astype(jnp.int32)
+        return v
+
+    return {k: up(v) for k, v in batch.items()}
 
 
 class AdversarialTTSTask:

@@ -134,13 +134,24 @@ class Trainer:
         # run. Same reason the scan's last-step metrics slice lives in-jit:
         # a host-side tree.map(x[-1]) would issue one device op per metric.
         train_base_rng = jax.random.PRNGKey(self.seed + 1)
+        # the per-group step index is read from the state's own 'step'
+        # counter when the task tracks one (it always equals global_step at
+        # dispatch time, including across resume): the dispatch then takes
+        # ZERO fresh host scalars — a host-side step_idx argument costs an
+        # extra host->device put on every group through this environment's
+        # relay. Tasks without a 'step' counter fall back to the host arg.
+        state_has_step = isinstance(state, dict) and "step" in state
+
+        def _group_key(state, rng, step_idx):
+            idx = state["step"] if state_has_step else step_idx
+            return jax.random.fold_in(rng, idx)
 
         def single_step_fn(state, batch, rng, step_idx):
-            return task.train_step(state, batch, jax.random.fold_in(rng, step_idx))
+            return task.train_step(state, batch, _group_key(state, rng, step_idx))
 
         def multi_step_fn(state, batches, rng, step_idx):
             n = jax.tree.leaves(batches)[0].shape[0]
-            rngs = jax.random.split(jax.random.fold_in(rng, step_idx), n)
+            rngs = jax.random.split(_group_key(state, rng, step_idx), n)
 
             def body(st, inp):
                 b, r = inp
@@ -149,28 +160,50 @@ class Trainer:
             state, metrics = jax.lax.scan(body, state, (batches, rngs))
             return state, jax.tree.map(lambda x: x[-1], metrics)
 
-        train_step = jax.jit(single_step_fn, donate_argnums=(0,))
-        multi_step = jax.jit(multi_step_fn, donate_argnums=(0,))
+        # step_idx is static when unused (state-derived step): the caller
+        # then always passes 0, so there is exactly one compile and zero
+        # per-group host scalar transfers
+        static_step = (3,) if state_has_step else ()
+        train_step = jax.jit(single_step_fn, donate_argnums=(0,), static_argnums=static_step)
+        multi_step = jax.jit(multi_step_fn, donate_argnums=(0,), static_argnums=static_step)
         val_step = jax.jit(task.val_step)
 
         # sanity validation (crash early on a broken val path)
         if self.num_sanity_val_steps > 0 and self.global_step == 0:
             self._evaluate(task, state, val_step, rng, max_batches=self.num_sanity_val_steps, sanity=True)
 
+        # GRAFT_TRACE_GROUPS=1: per-group host-side cost breakdown (batch
+        # wait / pad+stack / device_put / dispatch issuance) printed at loop
+        # exit — how the steady-state step time was attributed to collate vs
+        # transfer vs dispatch (perf work, not a user-facing feature)
+        trace = os.environ.get("GRAFT_TRACE_GROUPS") == "1"
+        tacc = {"wait": 0.0, "stack": [], "put": [], "dispatch": []}
+
         def _run_group(state, group):
             """Dispatch a list of same-shape batches as one scanned jit call
             (or a single step when the group has one batch). Rng derives
             in-jit from the pre-group global step (unique per group — groups
             advance the step by len(group) >= 1)."""
-            step_idx = np.int32(self.global_step)
+            step_idx = 0 if state_has_step else np.int32(self.global_step)
+            t0 = time.perf_counter()
             if len(group) == 1:
-                b = shard_batch(pad_batch_to_devices(group[0], self.mesh.size), self.mesh)
+                b = pad_batch_to_devices(group[0], self.mesh.size)
+                t1 = time.perf_counter()
+                b = shard_batch(b, self.mesh)
+                t2 = time.perf_counter()
                 state, metrics = train_step(state, b, train_base_rng, step_idx)
             else:
                 padded = [pad_batch_to_devices(b, self.mesh.size) for b in group]
                 stacked = {key: np.stack([p[key] for p in padded]) for key in group[0]}
+                t1 = time.perf_counter()
                 stacked = shard_stacked_batches(stacked, self.mesh)
+                t2 = time.perf_counter()
                 state, metrics = multi_step(state, stacked, train_base_rng, step_idx)
+            if trace:
+                t3 = time.perf_counter()
+                tacc["stack"].append(t1 - t0)
+                tacc["put"].append(t2 - t1)
+                tacc["dispatch"].append(t3 - t2)
             return state, metrics
 
         # throughput accounting: the first dispatch absorbs tracing, the
@@ -190,7 +223,7 @@ class Trainer:
             # (keys/values [B, Tw, L_k, 768]), so a 2*k queue at k=16 would
             # pin gigabytes; 8 ahead is plenty to keep the producer ahead of
             # the ~5 ms/batch collate vs ~35 ms/group dispatch cadence
-            for batch in prefetch_iterator(task.train_batches(), depth=min(2 * k, 8)):
+            for batch in _timed_iter(prefetch_iterator(task.train_batches(), depth=min(2 * k, 8)), tacc):
                 if self.global_step >= self.max_updates:
                     break
                 batch.pop("_meta", None)
@@ -248,6 +281,16 @@ class Trainer:
         if synced_once and steps_done > 0:
             jax.device_get(jax.tree.leaves(metrics)[0])  # drain the queue
             self.steady_per_step_s = (time.time() - t_start - t_excluded) / steps_done
+        if trace and tacc["dispatch"]:
+            g = len(tacc["dispatch"])
+            med = lambda xs: 1e3 * float(np.median(xs[1:] or xs))  # skip 1st (compile)
+            print(
+                f"[trace] groups={g} per-group ms (median, 1st group excluded): "
+                f"wait={1e3 * tacc['wait'] / g:.1f} stack={med(tacc['stack']):.1f} "
+                f"put={med(tacc['put']):.1f} dispatch={med(tacc['dispatch']):.1f} "
+                f"first_dispatch={1e3 * tacc['dispatch'][0]:.0f}",
+                flush=True,
+            )
         # final checkpoint
         self._save(state, self._evaluate(task, state, val_step, rng))
         return state
@@ -347,6 +390,20 @@ class Trainer:
             is_best=self.save_best and better,
             extra={"best_val": float(self.best_val)},
         )
+
+
+def _timed_iter(it, acc: dict):
+    """Yield from `it`, accumulating consumer-side wait time into
+    acc['wait'] (GRAFT_TRACE_GROUPS breakdown)."""
+    it = iter(it)
+    while True:
+        t0 = time.perf_counter()
+        try:
+            item = next(it)
+        except StopIteration:
+            return
+        acc["wait"] += time.perf_counter() - t0
+        yield item
 
 
 def _batch_sentences(batch: dict) -> int:
