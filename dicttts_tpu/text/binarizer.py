@@ -374,7 +374,11 @@ class ZhBinarizer:
                     ids = tok(text, return_tensors="pt", truncation=True, max_length=64)
                     out = model(**ids)
                     hs = out.hidden_states  # (emb, layer1, ...)
-                    feats = sum(hs[:9]) / 9.0  # input emb + first 8 layers
+                    # mean of input embedding + first 8 hidden layers
+                    # (binarizer_zh.py:213-233); divide by the actual count so
+                    # models with < 8 layers (test-size checkpoints) scale right
+                    sel = hs[:9]
+                    feats = sum(sel) / float(len(sel))
                     return feats[0].numpy().astype(np.float32), tok.convert_ids_to_tokens(ids["input_ids"][0])
 
             return encode

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import logging
 import os
+import threading
 import time
 from typing import Any, Iterator, Optional
 
@@ -62,6 +63,8 @@ class Trainer:
         mesh=None,
         save_best: bool = True,
         steps_per_dispatch: int = 1,
+        valid_infer_interval: Optional[int] = None,
+        final_eval: bool = True,
     ):
         self.work_dir = work_dir
         self.max_updates = max_updates
@@ -80,9 +83,19 @@ class Trainer:
         # dispatch — measured 46s -> 46ms per step through this sandbox's
         # relay, and still saves sync overhead on real TPU VMs
         self.steps_per_dispatch = max(int(steps_per_dispatch), 1)
+        # audio/figure artifact logging is FAR costlier than scalar
+        # validation (an infer-mode dispatch + vocoder + matplotlib —
+        # reference separates valid_infer_interval from val_check_interval
+        # for the same reason, egs/egs_bases/tts/base.yaml): gate it on its
+        # own interval, defaulting to every validation
+        self.valid_infer_interval = valid_infer_interval or val_check_interval
+        # bench/e2e harnesses skip the final evaluate+save (it costs a val
+        # graph compile they never read)
+        self.final_eval = final_eval
         self.global_step = 0
         self.best_val = np.inf if monitor_mode == "min" else -np.inf
         self._writer = None
+        self._save_thread: Optional[threading.Thread] = None
 
     # -- logging ----------------------------------------------------------
     @property
@@ -275,9 +288,16 @@ class Trainer:
                     jax.device_get(jax.tree.leaves(metrics)[0])
                     t_val = time.time()
                     val_metrics = self._evaluate(task, state, val_step, rng)
+                    t_ev = time.time()
                     self._save(state, val_metrics)
-                    self._log_artifacts(task, state, rng)
+                    t_sv = time.time()
+                    if self.global_step % self.valid_infer_interval < n_ran:
+                        self._log_artifacts(task, state, rng)
                     t_excluded += time.time() - t_val
+                    log.info(
+                        "val block @ %d: eval %.1fs save %.1fs artifacts %.1fs",
+                        self.global_step, t_ev - t_val, t_sv - t_ev, time.time() - t_sv,
+                    )
         if synced_once and steps_done > 0:
             jax.device_get(jax.tree.leaves(metrics)[0])  # drain the queue
             self.steady_per_step_s = (time.time() - t_start - t_excluded) / steps_done
@@ -292,7 +312,9 @@ class Trainer:
                 flush=True,
             )
         # final checkpoint
-        self._save(state, self._evaluate(task, state, val_step, rng))
+        if self.final_eval:
+            self._save(state, self._evaluate(task, state, val_step, rng))
+        self._join_pending_save()
         return state
 
     def test(self, task, state=None) -> list:
@@ -324,8 +346,7 @@ class Trainer:
     # -- internals ----------------------------------------------------------
     def _evaluate(self, task, state, val_step, rng, max_batches: Optional[int] = None, sanity: bool = False) -> dict:
         max_batches = max_batches if max_batches is not None else self.eval_max_batches
-        sums: dict = {}
-        count = 0
+        results: list = []  # (device metric tree, true sentence count)
         for i, batch in enumerate(task.val_batches()):
             if 0 < (max_batches or 0) <= i:
                 break
@@ -338,13 +359,28 @@ class Trainer:
             # invariant to how the data was partitioned into batches
             n_sent = _batch_sentences(batch)
             batch = shard_batch(pad_batch_to_devices(batch, self.mesh.size), self.mesh)
-            metrics = jax.device_get(val_step(state, batch, step_rng))
+            # no per-batch host sync: metric trees stay on device so the val
+            # dispatches pipeline; ONE device_get drains them all (each
+            # per-batch pull costs a full host round-trip through the relay)
+            results.append((val_step(state, batch, step_rng), n_sent))
+        sums: dict = {}
+        count = 0
+        for metrics, n_sent in zip(jax.device_get([m for m, _ in results]),
+                                    [n for _, n in results]):
             for k, v in metrics.items():
                 sums[k] = sums.get(k, 0.0) + float(v) * n_sent
             count += n_sent
         means = {k: v / max(count, 1) for k, v in sums.items()}
         if not sanity:
-            total = means.get(self.monitor_key, sum(means.values()))
+            if self.monitor_key in means:
+                total = means[self.monitor_key]
+            else:
+                # monitor fallback must not mix non-loss diagnostics (e.g.
+                # attention focus rates) into the best-checkpoint decision:
+                # restrict to loss-named metrics, whole-sum only as a last
+                # resort for tasks that report nothing loss-like
+                loss_means = {k: v for k, v in means.items() if "loss" in k or k == "kl"}
+                total = sum(loss_means.values()) if loss_means else sum(means.values())
             means.setdefault("total_loss", total)
             self.log_metrics(means, "val")
             log.info("validation @ %d: %s", self.global_step, means)
@@ -381,15 +417,30 @@ class Trainer:
         # them BEFORE device_get so checkpoints stay small and no multi-GB
         # device->host pull happens per save
         state = _strip_consts(state)
+        # the device->host pull must happen NOW (train_step donates the state
+        # buffers, so they are invalid once the next dispatch runs), but the
+        # msgpack serialize + disk write move to a worker thread — training
+        # resumes while the previous checkpoint is still flushing. Writes are
+        # serialized (join before start) so rotation stays ordered, and the
+        # .part+replace protocol keeps a mid-write kill harmless.
         host_state = jax.device_get(state)
-        save_checkpoint(
-            self.work_dir,
-            self.global_step,
-            host_state,
-            keep=self.num_ckpt_keep,
-            is_best=self.save_best and better,
-            extra={"best_val": float(self.best_val)},
+        self._join_pending_save()
+        self._save_thread = threading.Thread(
+            target=save_checkpoint,
+            args=(self.work_dir, self.global_step, host_state),
+            kwargs=dict(
+                keep=self.num_ckpt_keep,
+                is_best=self.save_best and better,
+                extra={"best_val": float(self.best_val)},
+            ),
+            daemon=True,
         )
+        self._save_thread.start()
+
+    def _join_pending_save(self):
+        if self._save_thread is not None:
+            self._save_thread.join()
+            self._save_thread = None
 
 
 def _timed_iter(it, acc: dict):

