@@ -262,6 +262,9 @@ def main():
     # machine; subsequent bench runs (e.g. the driver's) start warm
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # hardware PRNG for dropout/crop draws (see run.py): threefry costs
+    # >1 ms/step at the production geometry, rbg uses the TPU's generator
+    jax.config.update("jax_default_prng_impl", "rbg")
     import jax.numpy as jnp
 
     from dicttts_tpu.models.dict_encoder import DictMsg

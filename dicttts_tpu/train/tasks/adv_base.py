@@ -114,19 +114,24 @@ class AdversarialTTSTask:
         return jnp.mean(jnp.square(d_out["y"] - 1.0) * d_out["win_valid"][None, :])
 
     def _disc_losses(self, params_d, mel_fake, mel_real, lengths, rng):
-        out_r = self.disc.apply(
-            {"params": params_d}, mel_real, lengths,
+        # ONE disc apply over real and fake stacked on the batch axis: the
+        # step is op-latency-bound at this geometry (scripts/ablate_fine.py:
+        # disc fwd 1.42 ms at B=60 vs 2.34 at B=120), so halving the number
+        # of conv dispatches beats two half-sized passes. Crop starts are
+        # drawn once and shared between real and fake (the documented
+        # intent, models/discriminator.py:9-12 — scoring both on the same
+        # window is also the fairer LSGAN comparison).
+        B = mel_real.shape[0]
+        out = self.disc.apply(
+            {"params": params_d},
+            jnp.concatenate([mel_real, mel_fake], axis=0),
+            jnp.concatenate([lengths, lengths], axis=0),
             rng=jax.random.fold_in(rng, 0), deterministic=False,
             rngs={"dropout": jax.random.fold_in(rng, 1)},
         )
-        out_f = self.disc.apply(
-            {"params": params_d}, mel_fake, lengths,
-            rng=jax.random.fold_in(rng, 2), deterministic=False,
-            rngs={"dropout": jax.random.fold_in(rng, 3)},
-        )
-        wv = out_r["win_valid"][None, :]
-        loss_r = jnp.mean(jnp.square(out_r["y"] - 1.0) * wv)
-        loss_f = jnp.mean(jnp.square(out_f["y"]) * wv)
+        wv = out["win_valid"][None, :]
+        loss_r = jnp.mean(jnp.square(out["y"][:B] - 1.0) * wv)
+        loss_f = jnp.mean(jnp.square(out["y"][B:]) * wv)
         return loss_r + loss_f, {"r": loss_r, "f": loss_f}
 
     def _amp_scope(self):

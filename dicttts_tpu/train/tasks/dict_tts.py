@@ -33,7 +33,11 @@ def _dict_msg(batch) -> DictMsg:
     if "_bank" in batch:
         bank = batch["_bank"]
         wt = batch["word_tokens"]
-        keys = bank["keys"][wt].astype(jnp.float32)
+        # keep the bank's storage dtype through the gather: under amp the
+        # bank is bf16 and S2PA consumes it in the activation dtype anyway —
+        # upcasting here would materialize an extra [B,Tw,L,768] f32 copy
+        # (~1.1 GB at 60x64x96) that XLA then casts straight back down
+        keys = bank["keys"][wt]
         return DictMsg(keys, keys, bank["key_map"][wt], bank["pinyin"][wt], bank["pinyin_map"][wt])
     return DictMsg(
         batch["keys"], batch["values"], batch["key_map"], batch["pinyin"], batch["pinyin_map"]

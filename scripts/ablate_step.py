@@ -43,6 +43,9 @@ def main():
     import jax.numpy as jnp
     import optax
 
+    # match the production entry points (run.py/bench.py): hardware PRNG
+    jax.config.update("jax_default_prng_impl", "rbg")
+
     import bench
     from dicttts_tpu.data.datasets import TTSBatchProvider, TTSBinaryDataset
     from dicttts_tpu.run import autoconfigure_vocabs
@@ -126,6 +129,22 @@ def main():
                 st["opt_d"] = opt_d
                 st["step"] = st["step"] + 1
                 return st, loss
+            return body, state
+
+        if name == "opt_only":
+            # adamw update cost alone: fixed synthetic grads (params * eps),
+            # both optimizers — isolates the per-param-tensor op overhead
+            def body(st, r):
+                grads_g = jax.tree.map(lambda p: p * 1e-9, st["params_g"])
+                updates, opt_g = task.tx_g.update(grads_g, st["opt_g"], st["params_g"])
+                grads_d = jax.tree.map(lambda p: p * 1e-9, st["params_d"])
+                updates_d, opt_d = task.tx_d.update(grads_d, st["opt_d"], st["params_d"])
+                st = dict(st)
+                st["params_g"] = optax.apply_updates(st["params_g"], updates)
+                st["params_d"] = optax.apply_updates(st["params_d"], updates_d)
+                st["opt_g"], st["opt_d"] = opt_g, opt_d
+                st["step"] = st["step"] + 1
+                return st, st["step"].astype(jnp.float32)
             return body, state
 
         raise SystemExit(f"unknown piece {name}")

@@ -30,6 +30,11 @@ def main():
                     help="also run the pure-compute probe with this chain depth")
     args = ap.parse_args()
 
+    import jax
+
+    # match the production entry points (run.py/bench.py): hardware PRNG
+    jax.config.update("jax_default_prng_impl", "rbg")
+
     import bench
 
     bdir = bench._ensure_prod_corpus()
