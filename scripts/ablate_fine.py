@@ -139,11 +139,11 @@ def main():
                            for g in jax.tree.leaves(grads))
                 return c + (loss + gsum) * 0, c
 
-        elif base == "fvae_grad":
+        elif base in ("fvae_grad", "fvae_noflow_grad"):
             mod = FVAE(
                 in_out_channels=80, hidden_channels=192, latent_size=16,
                 kernel_size=5, enc_n_layers=8, dec_n_layers=4,
-                gin_channels=H, strides=(4,), use_prior_flow=True,
+                gin_channels=H, strides=(4,), use_prior_flow=base == "fvae_grad",
                 flow_hidden=64, flow_kernel_size=3, flow_n_steps=4,
             )
             params = mod.init(
