@@ -27,6 +27,7 @@ import time
 from typing import Any, Iterator, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from dicttts_tpu.parallel.mesh import (
@@ -417,24 +418,31 @@ class Trainer:
         # them BEFORE device_get so checkpoints stay small and no multi-GB
         # device->host pull happens per save
         state = _strip_consts(state)
-        # the device->host pull must happen NOW (train_step donates the state
-        # buffers, so they are invalid once the next dispatch runs), but the
-        # msgpack serialize + disk write move to a worker thread — training
-        # resumes while the previous checkpoint is still flushing. Writes are
-        # serialized (join before start) so rotation stays ordered, and the
+        # train_step donates the state buffers, so they are invalid once the
+        # next dispatch runs — but pulling them to host HERE costs seconds
+        # through a slow link (~250 MB of params+opt moments). Instead take a
+        # device-side snapshot (one jitted buffer copy, microseconds of HBM
+        # traffic) and move the device->host pull, msgpack serialize and disk
+        # write ALL to a worker thread: training dispatches the next group
+        # while the transfer streams out. lax.copy is bit-exact (no -0.0
+        # flips), so kill+resume equality is preserved. Writes are serialized
+        # (join before start) so rotation stays ordered, and the
         # .part+replace protocol keeps a mid-write kill harmless.
-        host_state = jax.device_get(state)
+        snapshot = _snapshot_tree(state)
+        step_now = self.global_step
         self._join_pending_save()
-        self._save_thread = threading.Thread(
-            target=save_checkpoint,
-            args=(self.work_dir, self.global_step, host_state),
-            kwargs=dict(
-                keep=self.num_ckpt_keep,
-                is_best=self.save_best and better,
-                extra={"best_val": float(self.best_val)},
-            ),
-            daemon=True,
-        )
+        is_best = self.save_best and better
+        best_val = float(self.best_val)
+        keep = self.num_ckpt_keep
+        work_dir = self.work_dir
+
+        def _pull_and_write():
+            save_checkpoint(
+                work_dir, step_now, jax.device_get(snapshot),
+                keep=keep, is_best=is_best, extra={"best_val": best_val},
+            )
+
+        self._save_thread = threading.Thread(target=_pull_and_write, daemon=True)
         self._save_thread.start()
 
     def _join_pending_save(self):
@@ -476,6 +484,18 @@ def _strip_consts(state):
     if isinstance(state, dict):
         return {k: v for k, v in state.items() if not k.startswith("_const_")}
     return state
+
+
+@jax.jit
+def _snapshot_tree(tree):
+    """Bit-exact device-side copy of every leaf, in ONE dispatch.
+
+    Checkpointing needs buffers that survive the next train dispatch (which
+    donates the live state); copying in HBM costs microseconds where the
+    host pull costs seconds, so the pull can move off the training thread.
+    `jnp.copy` (not `x + 0`) so -0.0 and NaN payloads round-trip exactly —
+    kill+resume bit-equality is a tested property (scripts/soak.py)."""
+    return jax.tree.map(jnp.copy, tree)
 
 
 def repeat_batches(make_iter) -> Iterator:

@@ -285,6 +285,44 @@ disc_start_steps: {max_updates // 4}
     return fn
 
 
+def heteronym_breakdown(labels_csv: str, meta_csv: str) -> dict:
+    """Where do the errors live? Splits PER into single-pronunciation
+    syllables (mechanics: should be ~0) vs heteronym slots (the actual
+    disambiguation task), and reports what the model predicts at those
+    slots vs the always-first-reading strategy."""
+    import csv
+
+    from dicttts_tpu.eval.per import load_label_set, load_meta_predictions
+    from dicttts_tpu.text.pinyin import load_dict
+
+    labels = load_label_set(labels_csv)
+    preds = load_meta_predictions(meta_csv)
+    zd = load_dict(REAL_DICT)
+    rows = list(csv.DictReader(open(labels_csv, encoding="utf-8")))
+    single_tot = single_err = het_tot = het_err = pred_first = 0
+    for row, lab, pred in zip(rows, labels, preds):
+        txt = row["txt"]
+        if len(lab) != len(pred) or len(lab) != len(txt):
+            continue  # alignment slips are counted by the headline PER only
+        for ch, g, p in zip(txt, lab, pred):
+            prons = zd.prons(ch) if ch in zd.entries else []
+            if len(prons) >= 2:
+                het_tot += 1
+                het_err += int(g != p)
+                pred_first += int(p == prons[0])
+            else:
+                single_tot += 1
+                single_err += int(g != p)
+    return {
+        "single_pron_syllables": single_tot,
+        "single_pron_errors": single_err,
+        "heteronym_slots": het_tot,
+        "heteronym_errors": het_err,
+        "heteronym_acc_pct": round(100 * (1 - het_err / max(het_tot, 1)), 2),
+        "model_predicts_first_reading_pct": round(100 * pred_first / max(het_tot, 1), 2),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--max_updates", type=int, default=12000)
@@ -292,6 +330,8 @@ def main():
     ap.add_argument("--fresh", action="store_true")
     ap.add_argument("--skip_train", action="store_true",
                     help="reuse an existing trained exp; just infer + score")
+    ap.add_argument("--skip_infer", action="store_true",
+                    help="reuse an existing meta.csv; just score")
     args = ap.parse_args()
 
     t0 = time.time()
@@ -335,15 +375,18 @@ def main():
     else:
         train_secs = None
 
-    print("| per: inference via the CLI...", flush=True)
-    t2 = time.time()
-    with open(os.path.join(ROOT, "infer.log"), "w") as logf:
-        rc = subprocess.call(
-            [sys.executable, "-m", "dicttts_tpu.run", "--config", cfg_fn,
-             "--exp_name", EXP_NAME, "--infer"], cwd=REPO, env=env,
-            stdout=logf, stderr=subprocess.STDOUT)
-    assert rc == 0, f"infer rc={rc}; see {ROOT}/infer.log"
-    infer_secs = time.time() - t2
+    if not args.skip_infer:
+        print("| per: inference via the CLI...", flush=True)
+        t2 = time.time()
+        with open(os.path.join(ROOT, "infer.log"), "w") as logf:
+            rc = subprocess.call(
+                [sys.executable, "-m", "dicttts_tpu.run", "--config", cfg_fn,
+                 "--exp_name", EXP_NAME, "--infer"], cwd=REPO, env=env,
+                stdout=logf, stderr=subprocess.STDOUT)
+        assert rc == 0, f"infer rc={rc}; see {ROOT}/infer.log"
+        infer_secs = time.time() - t2
+    else:
+        infer_secs = None
 
     from dicttts_tpu.eval.per import pron_error_rate_files
 
@@ -356,7 +399,8 @@ def main():
         "n_test_items": n_test,
         "max_updates": args.max_updates,
         "train_secs": round(train_secs, 1) if train_secs else None,
-        "infer_secs": round(infer_secs, 1),
+        "infer_secs": round(infer_secs, 1) if infer_secs else None,
+        "breakdown": heteronym_breakdown(labels_csv, meta_csv),
         "provenance": {
             "corpus": "synthetic sentences over the REAL zh-dict "
                       "(/root/reference/data/zh-dict.json, 7030 entries)",

@@ -107,6 +107,35 @@ def test_async_save_rotation(tmp_path):
     assert names == ["model_ckpt_steps_4.ckpt", "model_ckpt_steps_5.ckpt"]
 
 
+def test_save_snapshot_survives_donation(tmp_path):
+    """_save must capture the state's values at call time even though the
+    device->host pull happens later on the worker thread: train_step donates
+    the live buffers, so the save path snapshots on device first
+    (_snapshot_tree). The written checkpoint must hold the PRE-overwrite
+    values bit-exactly (incl. -0.0)."""
+    import jax.numpy as jnp
+
+    from dicttts_tpu.utils.checkpoint import restore_checkpoint
+
+    tr = Trainer(work_dir=str(tmp_path), mesh=None)
+    w0 = np.asarray([-0.0, 1.5, -2.25, 3.0], np.float32)
+    state = {"params": {"w": jnp.asarray(w0)}}
+    tr.global_step = 7
+    tr._save(state, {"total_loss": 1.0})
+    # simulate the next train dispatch clobbering the live state via donation
+    clobber = jax.jit(lambda t: jax.tree.map(lambda v: v * 0 + 9.0, t), donate_argnums=0)
+    state = clobber(state)
+    jax.block_until_ready(state)
+    tr._join_pending_save()
+    step, restored = restore_checkpoint(
+        os.path.join(str(tmp_path), "model_ckpt_steps_7.ckpt"),
+        {"params": {"w": np.zeros(4, np.float32)}},
+    )
+    assert step == 7
+    got = np.asarray(restored["params"]["w"])
+    assert (got.view(np.uint32) == w0.view(np.uint32)).all()
+
+
 def test_valid_infer_interval_defaults_to_val_interval(tmp_path):
     tr = Trainer(work_dir=str(tmp_path), mesh=None, val_check_interval=250)
     assert tr.valid_infer_interval == 250
