@@ -159,10 +159,30 @@ class AdversarialTTSTask:
             # array (mel2word for word/dict tasks, mel2ph for ph tasks)
             align = batch.get("mel2word", batch.get("mel2ph"))
             T = align.shape[-1]
-            batch["mels"] = jnp.take(cache["mels"], idx, axis=0)[:, :T]
+            # zero frames at/after each row's mel_lengths: PAD rows (sentence
+            # buckets / devices-multiple padding) carry item_idx 0 with
+            # mel_lengths 0, and the streamed path ships them as all-zero
+            # mels — without this mask the gather hands pad rows item 0's
+            # REAL frames, which the nonzero-target loss mask
+            # (losses.nonzero_mel_mask, reference weights_nonzero_speech
+            # semantics) then counts as supervision: 1-in-epoch ragged
+            # batches trained their pad rows toward item 0's mel (l1 spiking
+            # to ~1.07 at the 60x512 soak geometry). For real rows the cache
+            # is already zero beyond the item's length, so the multiply is
+            # bit-exact with the streamed path.
+            fmask = (
+                jnp.arange(T)[None, :] < batch["mel_lengths"][:, None]
+            )
+            batch["mels"] = (
+                jnp.take(cache["mels"], idx, axis=0)[:, :T]
+                * fmask[..., None].astype(cache["mels"].dtype)
+            )
             for k in ("f0", "uv"):
                 if k in cache:
-                    batch[k] = jnp.take(cache[k], idx, axis=0)[:, :T]
+                    batch[k] = (
+                        jnp.take(cache[k], idx, axis=0)[:, :T]
+                        * fmask.astype(cache[k].dtype)
+                    )
         return upcast_transfer_dtypes(batch)
 
     def attach_device_frame_cache(self, state):

@@ -124,6 +124,46 @@ def test_cache_rows_equal_streamed_mels(corpus):
     np.testing.assert_array_equal(gathered.astype(np.float32), batch_h["mels"].astype(np.float32))
 
 
+def test_frame_cache_matches_streaming_on_padded_sentence_rows(corpus):
+    """Regression: sentence-bucket pad rows carry item_idx 0, and the cache
+    gather used to hand them item 0's REAL frames where the streamed path
+    ships zeros — the nonzero-target loss mask (weights_nonzero_speech
+    semantics) then counted those rows as supervision, so every ragged
+    trailing batch trained its pad rows toward item 0's mel (l1 spiked to
+    ~1.07 in the 60x512 soak). prepare_batch now zeroes gathered frames at
+    >= mel_lengths, which is bit-exact for real rows."""
+    extra = dict(sentence_buckets=[6])  # 4 train items -> 2 all-zero pad rows
+    cfg_h = dict(corpus, **MODEL_CFG, **extra, use_device_frame_cache=False)
+    cfg_c = dict(corpus, **MODEL_CFG, **extra, use_device_frame_cache=True)
+    ds_h = TTSBinaryDataset(cfg_h["binary_data_dir"], "train", cfg_h, kind="dict")
+    ds_c = TTSBinaryDataset(cfg_c["binary_data_dir"], "train", cfg_c, kind="dict")
+    prov_h = TTSBatchProvider(ds_h, cfg_h, shuffle=False, emit_frame_refs=False)
+    prov_c = TTSBatchProvider(ds_c, cfg_c, shuffle=False, emit_frame_refs=True)
+    batch_h = next(iter(prov_h.train_batches()))
+    batch_c = next(iter(prov_c.train_batches()))
+    batch_h.pop("_meta"), batch_c.pop("_meta")
+    assert batch_h["mels"].shape[0] == 6  # padding actually happened
+    assert np.all(np.asarray(batch_h["mel_lengths"])[4:] == 0)
+    task_h = DictTTSTask(cfg_h, prov_h)
+    task_c = DictTTSTask(cfg_c, prov_c)
+    state_h = task_h.build_state(jax.random.PRNGKey(0))
+    state_c = task_c.build_state(jax.random.PRNGKey(0))
+    # the resolved batch must be bit-identical to the streamed one,
+    # INCLUDING the pad rows
+    resolved = jax.device_get(task_c.prepare_batch(state_c, batch_c))
+    np.testing.assert_array_equal(
+        np.asarray(resolved["mels"], np.float32),
+        np.asarray(batch_h["mels"], np.float32),
+    )
+    _, m_h = jax.jit(task_h.train_step)(state_h, batch_h, jax.random.PRNGKey(3))
+    _, m_c = jax.jit(task_c.train_step)(state_c, batch_c, jax.random.PRNGKey(3))
+    m_h, m_c = jax.device_get(m_h), jax.device_get(m_c)
+    for k in m_h:
+        np.testing.assert_allclose(
+            float(m_h[k]), float(m_c[k]), rtol=1e-5, atol=1e-6, err_msg=k
+        )
+
+
 def test_trainer_checkpoints_exclude_cache_and_resume(corpus, tmp_path):
     from dicttts_tpu.train.trainer import Trainer
     from dicttts_tpu.utils.checkpoint import get_last_checkpoint
