@@ -386,9 +386,15 @@ class ZhBinarizer:
         dim = self.cfg.get("dict_embed_dim", 768)
 
         def encode(text: str):
+            import zlib
+
+            # stable content hash (NOT python hash(): that is randomized per
+            # process via PYTHONHASHSEED, so re-binarizing would silently
+            # produce a different bank than the one a checkpoint trained on)
             toks = list(text)[:64]
             feats = np.stack(
-                [np.random.RandomState(hash(t) % 2**31).randn(dim).astype(np.float32) for t in toks]
+                [np.random.RandomState(zlib.crc32(t.encode("utf-8")) & 0x7FFFFFFF)
+                 .randn(dim).astype(np.float32) for t in toks]
             ) if toks else np.zeros((1, dim), np.float32)
             return feats, toks
 

@@ -1,6 +1,6 @@
 """Honest PER artifact: heteronym-rich, sandhi-exercising corpus →
 CLI train → CLI --infer → reference-semantics PER scoring (VERDICT r3
-next-round #3).
+next-round #3; r5 upgrades below).
 
 The real Biaobei corpus, MFA artifacts and pretrained checkpoints are not in
 this sandbox (zero egress), so the published PER ≈ 1.93 % anchor
@@ -8,15 +8,16 @@ this sandbox (zero egress), so the published PER ≈ 1.93 % anchor
 builds the strongest achievable proxy and DOCUMENTS ITS PROVENANCE:
 
 * Characters and pronunciations come from the REAL zh-dict
-  (/root/reference/data/zh-dict.json, 7030 entries — a data asset, read at
-  runtime, never copied into the tree). Every target character is a genuine
-  heteronym (>= 2 dictionary readings).
+  (default /root/reference/data/zh-dict.json, 7030 entries — a data asset,
+  read at runtime, never copied into the tree; point --dict at your own copy
+  to run outside this sandbox).
 * Each sentence embeds heteronyms between context characters drawn from the
   GLOSS TEXT of the intended reading, so the correct pronunciation is only
   inferable from semantic context — the exact disambiguation task S2PA
   exists for (dict_encoder.py parity docs). A first-pronunciation baseline
   is computed and reported alongside; the corpus is constructed so that
-  baseline is far from 0 % error.
+  baseline is far from 0 % error. Measured intrinsic (Bayes) ambiguity of
+  the slot task is ~0.2 % — the corpus is decidable.
 * Tone sandhi runs for real: the generator applies the SAME
   text/sandhi.py engine the binarizer uses; where it forces a reading
   (不/一/neutral tone), the audio and the gold labels follow it.
@@ -30,9 +31,23 @@ builds the strongest achievable proxy and DOCUMENTS ITS PROVENANCE:
   scripts/pron_label/label_set0.csv format; PER =
   eval/per.pron_error_rate_files (exact get_pron_error.py:8-48 semantics).
 
-Writes PER_r04.json at the repo root. Usage:
+Round-5 changes (VERDICT r4 next-round #1/#2/#7):
+* FIXED COMMITTED TEST SET: the 50 test sentences live in
+  data/per_test_set.json (their own RNG stream, independent of the train
+  stream), so --n_items can scale the train set while r5→r6 comparisons stay
+  apples-to-apples. The file is written on first run and verified after.
+* model_predicts_first_reading_pct now converts the dictionary's
+  tone-marked first reading through pinyin_to_tone3 before comparing
+  (the old stat compared "ka3" to "kǎ" — never equal).
+* per-slot diagnostics: every heteronym slot in the test set is dumped
+  (char, gold, pred, sandhi-forced?) to <root>/slot_diag.json with per-char
+  aggregates, plus optional --score_train probe on held-in items to split
+  optimization error from generalization error.
 
-    python scripts/per_eval.py [--max_updates 12000] [--n_items 800] [--fresh]
+Writes PER_r05.json at the repo root. Usage:
+
+    python scripts/per_eval.py [--max_updates 100000] [--n_items 6000]
+        [--dict /path/to/zh-dict.json] [--score_train] [--fresh]
 """
 
 from __future__ import annotations
@@ -51,9 +66,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-REAL_DICT = "/root/reference/data/zh-dict.json"
+DEFAULT_DICT = "/root/reference/data/zh-dict.json"
 ROOT = os.path.join(REPO, ".per_corpus")
-EXP_NAME = "per_eval_r04"
+TEST_SET_JSON = os.path.join(REPO, "data", "per_test_set.json")
+N_TEST = 50
+TEST_SEED = 12345
 
 
 # -- corpus ------------------------------------------------------------------
@@ -114,23 +131,11 @@ def _render(syl_seq: list[str], bank, sr: int, secs_per_char: float) -> np.ndarr
     return np.concatenate(segs)
 
 
-def build_per_corpus(root: str, n_items: int, seed: int = 0,
-                     max_heteronyms: int = 160, sr: int = 22050,
-                     secs_per_char: float = 0.11):
-    """Returns (binary_data_dir, gold: {item: [syllable...]}, stats)."""
-    from dicttts_tpu.text.binarizer import PreAlign, ZhBinarizer
-    from dicttts_tpu.text.pinyin import load_dict
-    from dicttts_tpu.text.sandhi import SandhiProcessor
-    from dicttts_tpu.vocoders.hifigan import save_wav
-
-    zd = load_dict(REAL_DICT)
-    sandhi = SandhiProcessor(zd)
-    het, single = _select_heteronyms(zd, max_heteronyms)
-    rng = np.random.RandomState(seed)
-
-    # sandhi triggers: sprinkle 不/一 (their sandhi is context-dependent)
+def _gen_items(zd, het, rng, n_items: int, prefix: str):
+    """Sentence generator (unchanged recipe since r4): 3-5 heteronym slots,
+    each between 3-5 context chars drawn from the intended reading's gloss
+    support, with 不/一 sandhi triggers sprinkled in."""
     triggers = [c for c in ("不", "一") if c in zd.entries]
-
     items = []  # (name, text, [reading chosen per char or None->first])
     for i in range(n_items):
         text, choice = [], []
@@ -150,7 +155,48 @@ def build_per_corpus(root: str, n_items: int, seed: int = 0,
                 segc.insert(j, None)
             text.extend(seg)
             choice.extend(segc)
-        items.append((f"h{i:05d}", "".join(text), choice))
+        items.append((f"{prefix}{i:05d}", "".join(text), choice))
+    return items
+
+
+def _fixed_test_items(zd, het):
+    """The committed 50-sentence test set: generated from its own RNG stream
+    (seed 12345) and persisted to data/per_test_set.json so train-set scale
+    can change between rounds without moving the goalposts."""
+    items = _gen_items(zd, het, np.random.RandomState(TEST_SEED), N_TEST, "t")
+    ser = [{"name": n, "text": t, "choice": c} for n, t, c in items]
+    if os.path.exists(TEST_SET_JSON):
+        with open(TEST_SET_JSON, encoding="utf-8") as f:
+            on_disk = json.load(f)
+        assert on_disk == ser, (
+            f"{TEST_SET_JSON} does not match the generator output — the dict "
+            "or the recipe changed; delete the file to accept a NEW test set "
+            "(breaks cross-round comparability)")
+    else:
+        os.makedirs(os.path.dirname(TEST_SET_JSON), exist_ok=True)
+        with open(TEST_SET_JSON, "w", encoding="utf-8") as f:
+            json.dump(ser, f, ensure_ascii=False, indent=0)
+    return items
+
+
+def build_per_corpus(root: str, n_items: int, dict_path: str, seed: int = 0,
+                     max_heteronyms: int = 160, sr: int = 22050,
+                     secs_per_char: float = 0.11):
+    """Returns (binary_data_dir, gold: {item: [syllable...]}, stats)."""
+    from dicttts_tpu.text.binarizer import PreAlign, ZhBinarizer
+    from dicttts_tpu.text.pinyin import load_dict
+    from dicttts_tpu.text.sandhi import SandhiProcessor
+    from dicttts_tpu.vocoders.hifigan import save_wav
+
+    zd = load_dict(dict_path)
+    sandhi = SandhiProcessor(zd)
+    het, single = _select_heteronyms(zd, max_heteronyms)
+    rng = np.random.RandomState(seed)
+
+    # test items FIRST (the binarizer takes test = rows[:test_num]), then the
+    # train/valid stream — its RNG is independent of the test stream
+    items = _fixed_test_items(zd, het)
+    items += _gen_items(zd, het, rng, n_items, "h")
 
     # gold syllables: chosen reading for heteronym slots, first reading
     # elsewhere, then sandhi overrides applied EXACTLY as the binarizer does
@@ -191,15 +237,15 @@ def build_per_corpus(root: str, n_items: int, seed: int = 0,
                     save_wav(fn, _render(gold[name], bank, sr, secs_per_char), sr)
                 yield name, fn, text
 
-    bdir = os.path.join(root, "binary")
+    bdir = os.path.join(root, f"binary_n{n_items}")
     cfg = {
         "raw_data_dir": raw,
-        "processed_data_dir": os.path.join(root, "processed"),
+        "processed_data_dir": os.path.join(root, f"processed_n{n_items}"),
         "binary_data_dir": bdir,
-        "dict_path": REAL_DICT,
+        "dict_path": dict_path,
         "word_size": 12000,
         "dict_embed_dim": 768,
-        "test_num": 50,
+        "test_num": N_TEST,
         "valid_num": 20,
         "use_dict": True,
         "binarize_batch": 16,
@@ -213,6 +259,8 @@ def build_per_corpus(root: str, n_items: int, seed: int = 0,
 
     stats = {
         "n_items": n_items,
+        "n_test_items": N_TEST,
+        "test_set": os.path.relpath(TEST_SET_JSON, REPO),
         "n_heteronym_chars": len(het),
         "heteronym_slots": n_het_slots,
         "sandhi_overrides_applied": n_sandhi,
@@ -222,13 +270,13 @@ def build_per_corpus(root: str, n_items: int, seed: int = 0,
     return bdir, gold, baseline, stats
 
 
-def write_labels(bdir: str, gold: dict, out_csv: str) -> int:
-    """Gold labels for the TEST split, in split order, in the reference
+def write_labels(bdir: str, split: str, gold: dict, out_csv: str) -> int:
+    """Gold labels for a split, in split order, in the reference
     label_set0.csv layout (scored positionally against meta.csv rows)."""
     from dicttts_tpu.text.pinyin import pinyin_to_tone3
     from dicttts_tpu.utils.indexed_dataset import IndexedDataset
 
-    ds = IndexedDataset(os.path.join(bdir, "test"))
+    ds = IndexedDataset(os.path.join(bdir, split))
     rows = []
     for i in range(len(ds)):
         item = ds[i]
@@ -245,15 +293,39 @@ def write_labels(bdir: str, gold: dict, out_csv: str) -> int:
     return len(rows)
 
 
+def make_train_probe(bdir: str, n: int = 50) -> str:
+    """Copy the first n TRAIN items into a 'trainprobe' split so the CLI
+    infer path can score held-IN sentences (optimization vs generalization
+    split of the heteronym error)."""
+    from dicttts_tpu.utils.indexed_dataset import IndexedDataset, IndexedDatasetBuilder
+
+    ds = IndexedDataset(os.path.join(bdir, "train"))
+    n = min(n, len(ds))
+    if not os.path.exists(os.path.join(bdir, "trainprobe.idx")):
+        b = IndexedDatasetBuilder(os.path.join(bdir, "trainprobe"))
+        lengths = []
+        for i in range(n):
+            item = ds[i]
+            b.add_item(item)
+            lengths.append(item["len"])
+        b.finalize()
+        np.save(os.path.join(bdir, "trainprobe_lengths.npy"), np.asarray(lengths))
+        src = os.path.join(bdir, "train_f0s_mean_std.npy")
+        if os.path.exists(src):
+            shutil.copy(src, os.path.join(bdir, "trainprobe_f0s_mean_std.npy"))
+    return "trainprobe"
+
+
 # -- train + infer + score -----------------------------------------------------
 
-def write_config(bdir: str, max_updates: int) -> str:
+def write_config(bdir: str, dict_path: str, max_updates: int,
+                 extra: str = "") -> str:
     cfg = f"""\
 base_config:
   - {REPO}/dicttts_tpu/configs/tts/dict_tts.yaml
 
 binary_data_dir: {bdir}
-dict_path: {REAL_DICT}
+dict_path: {dict_path}
 lm_model: ''
 use_pitch_embed: false
 
@@ -278,6 +350,7 @@ amp: true
 use_device_dict_bank: true
 use_device_frame_cache: true
 disc_start_steps: {max_updates // 4}
+{extra}
 """
     fn = os.path.join(ROOT, "per.yaml")
     with open(fn, "w") as f:
@@ -285,65 +358,150 @@ disc_start_steps: {max_updates // 4}
     return fn
 
 
-def heteronym_breakdown(labels_csv: str, meta_csv: str) -> dict:
+def slot_diagnostics(labels_csv: str, meta_csv: str, dict_path: str,
+                     out_json: str | None = None) -> dict:
     """Where do the errors live? Splits PER into single-pronunciation
     syllables (mechanics: should be ~0) vs heteronym slots (the actual
-    disambiguation task), and reports what the model predicts at those
-    slots vs the always-first-reading strategy."""
+    disambiguation task), separates sandhi-FORCED slots (the straight-through
+    rule override decides those, not attention) from FREE slots, reports the
+    collapse-to-prior stat, and dumps every slot for error anatomy."""
     import csv
 
     from dicttts_tpu.eval.per import load_label_set, load_meta_predictions
-    from dicttts_tpu.text.pinyin import load_dict
+    from dicttts_tpu.text.pinyin import load_dict, pinyin_to_tone3
+    from dicttts_tpu.text.sandhi import SandhiProcessor
 
     labels = load_label_set(labels_csv)
     preds = load_meta_predictions(meta_csv)
-    zd = load_dict(REAL_DICT)
+    zd = load_dict(dict_path)
+    sandhi = SandhiProcessor(zd)
+    tone3 = {}  # tone-marked pinyin -> merged tone3 syllable ("kǎ" -> "ka3")
+
+    def t3(syl: str) -> str:
+        if syl not in tone3:
+            ini, fin = pinyin_to_tone3(syl)
+            tone3[syl] = ini + fin
+        return tone3[syl]
+
     rows = list(csv.DictReader(open(labels_csv, encoding="utf-8")))
     single_tot = single_err = het_tot = het_err = pred_first = 0
+    forced_tot = forced_err = free_tot = free_err = 0
+    slots, skipped = [], 0
     for row, lab, pred in zip(rows, labels, preds):
         txt = row["txt"]
         if len(lab) != len(pred) or len(lab) != len(txt):
+            skipped += 1
             continue  # alignment slips are counted by the headline PER only
-        for ch, g, p in zip(txt, lab, pred):
+        mods = sandhi.process_sandhi(txt)
+        for j, (ch, g, p) in enumerate(zip(txt, lab, pred)):
             prons = zd.prons(ch) if ch in zd.entries else []
             if len(prons) >= 2:
                 het_tot += 1
                 het_err += int(g != p)
-                pred_first += int(p == prons[0])
+                pred_first += int(p == t3(prons[0]))
+                forced = j < len(mods) and 0 < mods[j] <= len(prons)
+                if forced:
+                    forced_tot += 1
+                    forced_err += int(g != p)
+                else:
+                    free_tot += 1
+                    free_err += int(g != p)
+                slots.append({
+                    "item": row["item_name"], "pos": j, "char": ch,
+                    "gold": g, "pred": p, "forced": bool(forced),
+                    "gold_is_first": g == t3(prons[0]),
+                    "n_readings": len(prons),
+                })
             else:
                 single_tot += 1
                 single_err += int(g != p)
+    # per-char aggregates over the erroneous slots
+    per_char: dict[str, list[int]] = {}
+    for s in slots:
+        a = per_char.setdefault(s["char"], [0, 0])
+        a[0] += int(s["gold"] != s["pred"])
+        a[1] += 1
+    worst = sorted(per_char.items(), key=lambda kv: -kv[1][0])
+    if out_json:
+        with open(out_json, "w", encoding="utf-8") as f:
+            json.dump({"slots": slots,
+                       "per_char_err": {c: {"err": e, "tot": t}
+                                        for c, (e, t) in worst}},
+                      f, ensure_ascii=False, indent=0)
     return {
         "single_pron_syllables": single_tot,
         "single_pron_errors": single_err,
         "heteronym_slots": het_tot,
         "heteronym_errors": het_err,
         "heteronym_acc_pct": round(100 * (1 - het_err / max(het_tot, 1)), 2),
+        "free_slots": free_tot,
+        "free_errors": free_err,
+        "free_acc_pct": round(100 * (1 - free_err / max(free_tot, 1)), 2),
+        "sandhi_forced_slots": forced_tot,
+        "sandhi_forced_errors": forced_err,
         "model_predicts_first_reading_pct": round(100 * pred_first / max(het_tot, 1), 2),
+        "rows_skipped_len_mismatch": skipped,
+        "worst_chars": [
+            {"char": c, "err": e, "tot": t} for c, (e, t) in worst[:10] if e > 0
+        ],
     }
+
+
+def run_cli(cfg_fn: str, exp_name: str, log_fn: str, infer: bool = False,
+            hparams: str = "") -> None:
+    # PREPEND to PYTHONPATH: this image registers the TPU backend through a
+    # sitecustomize on the existing path — clobbering it silently drops the
+    # chip and the subprocess dies at jax.devices()
+    env = dict(os.environ,
+               PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    cmd = [sys.executable, "-m", "dicttts_tpu.run", "--config", cfg_fn,
+           "--exp_name", exp_name]
+    if infer:
+        cmd.append("--infer")
+    if hparams:
+        cmd += ["--hparams", hparams]
+    with open(log_fn, "w") as logf:
+        rc = subprocess.call(cmd, cwd=REPO, env=env,
+                             stdout=logf, stderr=subprocess.STDOUT)
+    assert rc == 0, f"{' '.join(cmd[3:])} rc={rc}; see {log_fn}"
 
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--max_updates", type=int, default=12000)
-    ap.add_argument("--n_items", type=int, default=800)
+    ap.add_argument("--max_updates", type=int, default=100000)
+    ap.add_argument("--n_items", type=int, default=6000,
+                    help="TRAIN+VALID sentence count (test is the fixed "
+                         "committed 50; r4 used 2000)")
+    ap.add_argument("--dict", dest="dict_path", default=DEFAULT_DICT,
+                    help="path to zh-dict.json (the reference data asset; "
+                         "required — not shipped in-tree)")
+    ap.add_argument("--tag", default="r05", help="artifact tag: PER_<tag>.json")
+    ap.add_argument("--hparams", default="", help="extra config overrides "
+                    "passed to the train/infer CLI (comma list)")
     ap.add_argument("--fresh", action="store_true")
     ap.add_argument("--skip_train", action="store_true",
                     help="reuse an existing trained exp; just infer + score")
     ap.add_argument("--skip_infer", action="store_true",
                     help="reuse an existing meta.csv; just score")
+    ap.add_argument("--score_train", action="store_true",
+                    help="also infer+score 50 held-IN train sentences "
+                         "(optimization vs generalization split)")
     args = ap.parse_args()
+    assert os.path.exists(args.dict_path), (
+        f"zh-dict not found at {args.dict_path}; pass --dict "
+        "(the dictionary is a reference data asset, not shipped in-tree)")
+    exp_name = f"per_eval_{args.tag}"
 
     t0 = time.time()
     print("| per: building heteronym corpus from the real zh-dict...", flush=True)
-    bdir, gold, baseline, stats = build_per_corpus(ROOT, args.n_items)
+    bdir, gold, baseline, stats = build_per_corpus(ROOT, args.n_items, args.dict_path)
     labels_csv = os.path.join(ROOT, "labels.csv")
-    n_test = write_labels(bdir, gold, labels_csv)
+    n_test = write_labels(bdir, "test", gold, labels_csv)
 
     # exact context-free baseline PER over the same test rows: first
     # dictionary reading everywhere + the rule-based sandhi overrides — what
     # any g2p without semantic disambiguation would score here
-    from dicttts_tpu.eval.per import wer
+    from dicttts_tpu.eval.per import pron_error_rate_files, wer
     from dicttts_tpu.utils.indexed_dataset import IndexedDataset
 
     test_ds = IndexedDataset(os.path.join(bdir, "test"))
@@ -351,26 +509,17 @@ def main():
     baseline_per = wer([gold[n] for n in test_names], [baseline[n] for n in test_names])
     print(f"| per: corpus ready ({stats}); {n_test} test items; "
           f"first-pron baseline PER {100 * baseline_per:.2f}%", flush=True)
-    cfg_fn = write_config(bdir, args.max_updates)
+    cfg_fn = write_config(bdir, args.dict_path, args.max_updates)
 
-    work_dir = os.path.join(REPO, "checkpoints", EXP_NAME)
+    work_dir = os.path.join(REPO, "checkpoints", exp_name)
     if args.fresh:
         shutil.rmtree(work_dir, ignore_errors=True)
 
-    # PREPEND to PYTHONPATH: this image registers the TPU backend through a
-    # sitecustomize on the existing path — clobbering it silently drops the
-    # chip and the subprocess dies at jax.devices()
-    env = dict(os.environ,
-               PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
     if not args.skip_train:
         print("| per: training via the CLI...", flush=True)
         t1 = time.time()
-        with open(os.path.join(ROOT, "train.log"), "w") as logf:
-            rc = subprocess.call(
-                [sys.executable, "-m", "dicttts_tpu.run", "--config", cfg_fn,
-                 "--exp_name", EXP_NAME], cwd=REPO, env=env,
-                stdout=logf, stderr=subprocess.STDOUT)
-        assert rc == 0, f"train rc={rc}; see {ROOT}/train.log"
+        run_cli(cfg_fn, exp_name, os.path.join(ROOT, "train.log"),
+                hparams=args.hparams)
         train_secs = time.time() - t1
     else:
         train_secs = None
@@ -378,20 +527,41 @@ def main():
     if not args.skip_infer:
         print("| per: inference via the CLI...", flush=True)
         t2 = time.time()
-        with open(os.path.join(ROOT, "infer.log"), "w") as logf:
-            rc = subprocess.call(
-                [sys.executable, "-m", "dicttts_tpu.run", "--config", cfg_fn,
-                 "--exp_name", EXP_NAME, "--infer"], cwd=REPO, env=env,
-                stdout=logf, stderr=subprocess.STDOUT)
-        assert rc == 0, f"infer rc={rc}; see {ROOT}/infer.log"
+        run_cli(cfg_fn, exp_name, os.path.join(ROOT, "infer.log"), infer=True,
+                hparams=args.hparams)
         infer_secs = time.time() - t2
     else:
         infer_secs = None
 
-    from dicttts_tpu.eval.per import pron_error_rate_files
-
-    meta_csv = os.path.join(work_dir, "generated", "meta.csv")
+    gen_dir = os.path.join(work_dir, "generated")
+    meta_csv = os.path.join(ROOT, "meta_test.csv")
+    shutil.copy(os.path.join(gen_dir, "meta.csv"), meta_csv)
     per = pron_error_rate_files(meta_csv, labels_csv)
+    breakdown = slot_diagnostics(labels_csv, meta_csv, args.dict_path,
+                                 os.path.join(ROOT, "slot_diag.json"))
+
+    train_probe = None
+    if args.score_train:
+      try:
+        print("| per: scoring 50 held-IN train sentences...", flush=True)
+        probe = make_train_probe(bdir, 50)
+        probe_labels = os.path.join(ROOT, "labels_trainprobe.csv")
+        write_labels(bdir, probe, gold, probe_labels)
+        run_cli(cfg_fn, exp_name, os.path.join(ROOT, "infer_train.log"),
+                infer=True,
+                hparams=(args.hparams + "," if args.hparams else "")
+                + f"test_set_name={probe}")
+        probe_meta = os.path.join(ROOT, "meta_trainprobe.csv")
+        shutil.copy(os.path.join(gen_dir, "meta.csv"), probe_meta)
+        train_probe = {
+            "per_pct": round(100 * pron_error_rate_files(probe_meta, probe_labels), 3),
+            **{k: v for k, v in slot_diagnostics(
+                probe_labels, probe_meta, args.dict_path,
+                os.path.join(ROOT, "slot_diag_train.json")).items()
+               if k != "worst_chars"},
+        }
+      except Exception as e:  # diagnostic extra — never lose the headline artifact
+        train_probe = {"error": repr(e)}
 
     result = {
         "per_pct": round(100 * per, 3),
@@ -400,17 +570,20 @@ def main():
         "max_updates": args.max_updates,
         "train_secs": round(train_secs, 1) if train_secs else None,
         "infer_secs": round(infer_secs, 1) if infer_secs else None,
-        "breakdown": heteronym_breakdown(labels_csv, meta_csv),
+        "breakdown": breakdown,
+        "train_probe": train_probe,
         "provenance": {
             "corpus": "synthetic sentences over the REAL zh-dict "
-                      "(/root/reference/data/zh-dict.json, 7030 entries)",
+                      f"({args.dict_path}, {7030} entries)",
             "task": "heteronym disambiguation from gloss-derived semantic "
                     "context; readings drawn uniformly per slot",
             "audio": "pronunciation-faithful 3-partial harmonic signatures, "
                      "one unique spectrum per distinct syllable",
-            "gloss_features": "deterministic hash fallback (no RoFormer "
-                              "weights in this sandbox)",
+            "gloss_features": "deterministic crc32-seeded gaussian fallback "
+                              "(no RoFormer weights in this sandbox)",
             "sandhi": "text/sandhi.py overrides applied to audio AND labels",
+            "test_set": "FIXED 50 sentences, committed at "
+                        "data/per_test_set.json (own RNG stream, seed 12345)",
             "not_claimed": "Biaobei acoustics / MOS / the literal 1.93% "
                            "anchor — environment-blocked (no corpus, no "
                            "egress); this measures the S2PA pronunciation "
@@ -420,7 +593,7 @@ def main():
         },
         "total_secs": round(time.time() - t0, 1),
     }
-    with open(os.path.join(REPO, "PER_r04.json"), "w") as f:
+    with open(os.path.join(REPO, f"PER_{args.tag}.json"), "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result, indent=1))
 
