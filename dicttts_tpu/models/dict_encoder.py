@@ -163,6 +163,7 @@ class S2PAAttention(nn.Module):
         dict_msg: DictMsg,
         pron_modified: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        word_tokens: Optional[jnp.ndarray] = None,
     ):
         # x: [B, T, H]
         keys, values, key_map, pinyin, pinyin_map = dict_msg
@@ -179,7 +180,55 @@ class S2PAAttention(nn.Module):
         # reference parity: scale by key_size^-0.5 (not query size)
         q = q * self.key_size**-0.5
 
-        if self.use_pallas and deterministic and self.sense_mode == "token":
+        if keys.ndim == 3:
+            # BANK-FUSED path: keys is the UN-gathered [V, L, E] device bank
+            # and word_tokens picks rows INSIDE the Pallas kernel — the
+            # [B,T,L,E] gathered copy is never materialized (the XLA path
+            # writes it once and re-reads it ~4x across fwd+bwd: ~2.8 GB of
+            # pure-bandwidth HBM traffic per step at 60x64x96x768). Same
+            # math as the XLA branch below; key_map/pinyin* arrive gathered
+            # (they are int32 and ~1000x smaller).
+            from dicttts_tpu.ops.s2pa_bank_pallas import s2pa_bank_attend
+
+            assert word_tokens is not None, "bank-fused S2PA needs word ids"
+            B, T = word_tokens.shape
+            L = key_map.shape[-1]
+            q_e = jnp.einsum("bth,eh->bte", q, w_k.astype(q.dtype))
+            if deterministic:
+                mask = jnp.ones((B, T, L), jnp.float32)
+            else:
+                keep = 1.0 - self.dropout_rate
+                mask = (
+                    jax.random.bernoulli(
+                        self.make_rng("dropout"), keep, (B, T, L)
+                    ).astype(jnp.float32) / keep
+                )
+            ctx_e, weights = s2pa_bank_attend(
+                keys, word_tokens.reshape(-1),
+                q_e.reshape(B * T, E).astype(keys.dtype),
+                key_map.reshape(B * T, L).astype(jnp.int32),
+                mask.reshape(B * T, L),
+                jax.default_backend() != "tpu",  # interpret off-TPU (CI)
+            )
+            weights = weights.reshape(B, T, L)
+            align = weights
+            weights_d = weights * mask  # the kernel's ctx used these
+            context = jnp.einsum(
+                "bte,eh->bth", ctx_e.reshape(B, T, E).astype(q.dtype),
+                w_v.astype(q.dtype))
+            if self.sense_mode == "token":
+                pron_weights = sense_remap(weights_d, key_map, pinyin_map)
+            else:
+                rng = (
+                    self.make_rng("dropout")
+                    if self.sense_mode == "gumbel" and not deterministic
+                    else None
+                )
+                pron_weights = sense_remap_grouped(
+                    weights_d, key_map, pinyin_map, self.max_senses,
+                    mode=self.sense_mode, temperature=self.gumbel_temperature, rng=rng,
+                )
+        elif self.use_pallas and deterministic and self.sense_mode == "token":
             from dicttts_tpu.ops.s2pa_pallas import pad_dict_msg, s2pa_fused
 
             k = jnp.einsum("btle,eh->btlh", keys, w_k)
@@ -269,7 +318,7 @@ class S2PATextEncoder(nn.Module):
             H, pinyin_vocab=self.pinyin_vocab, dropout_rate=self.p_dropout,
             use_pallas=self.use_pallas, sense_mode=self.sense_mode,
             max_senses=self.max_senses, name="s2pa"
-        )(x, dict_msg, pron_modified, deterministic)
+        )(x, dict_msg, pron_modified, deterministic, word_tokens=word_tokens)
         context = context * x_mask
         x = context + pron
         x = RelTransformerLayers(

@@ -24,15 +24,24 @@ from dicttts_tpu.train import losses as L
 from dicttts_tpu.train.tasks.adv_base import AdversarialTTSTask
 
 
-def _dict_msg(batch) -> DictMsg:
+def _dict_msg(batch, bank_fused: bool = False) -> DictMsg:
     """Per-utterance dict-bank tensors: either pre-collated host arrays or,
     with the device-resident bank (use_device_dict_bank), an on-device
     gather of the [V, ...] vocab bank by word id — the bank uploads ONCE
     and batches carry only word_tokens, replacing the dominant host->device
-    byte volume ([B, Tw, L_k, 768] per step) with an HBM gather."""
+    byte volume ([B, Tw, L_k, 768] per step) with an HBM gather.
+
+    bank_fused (s2pa_bank_fused config): the float bank is NOT gathered
+    here — it passes through as [V, L, E] and the Pallas kernel gathers
+    rows in VMEM (ops/s2pa_bank_pallas.py), skipping the ~566 MB [B,Tw,L,E]
+    materialization; only the small int maps are gathered."""
     if "_bank" in batch:
         bank = batch["_bank"]
         wt = batch["word_tokens"]
+        if bank_fused:
+            return DictMsg(
+                bank["keys"], bank["keys"], bank["key_map"][wt],
+                bank["pinyin"][wt], bank["pinyin_map"][wt])
         # keep the bank's storage dtype through the gather: under amp the
         # bank is bf16 and S2PA consumes it in the activation dtype anyway —
         # upcasting here would materialize an extra [B,Tw,L,768] f32 copy
@@ -61,6 +70,9 @@ class DictTTSTask(AdversarialTTSTask):
                 "a .ds alias, or unset the flag)"
             )
         self.mel_loss_spec = L.parse_mel_loss_spec(cfg.get("mel_loss", "ssim:0.5|l1:0.5"))
+        # gather-fused S2PA (Pallas): needs the device bank; the kernel
+        # gathers bank rows itself (ops/s2pa_bank_pallas.py)
+        self.bank_fused = bool(cfg.get("s2pa_bank_fused")) and self.use_device_bank
         self.lambda_kl = cfg.get("lambda_kl", 1.0)
         self.kl_min = cfg.get("kl_min", 0.002)
         self.infer_max_frames = cfg.get("max_frames", 1548)
@@ -150,7 +162,7 @@ class DictTTSTask(AdversarialTTSTask):
         out = self.model.apply(
             {"params": params_g},
             batch["word_tokens"],
-            _dict_msg(batch),
+            _dict_msg(batch, self.bank_fused),
             batch.get("pron_modified"),
             mel2word=batch["mel2word"],
             spk_ids=batch.get("spk_ids"),
@@ -288,7 +300,7 @@ class DictTTSTask(AdversarialTTSTask):
         """Inference: predicted durations, sampled prior, argmax pinyin ids
         for PER scoring (reference dict_tts.py:294-311)."""
         batch = self.prepare_batch(state, batch)
-        dm = _dict_msg(batch)
+        dm = _dict_msg(batch, self.bank_fused)
         with self._amp_scope():
             out = self.model.apply(
                 {"params": state["params_g"]},

@@ -39,6 +39,11 @@ def main():
         "enc_fwd_x2", "fvae_fwd_x2", "disc_fwd_x2",
     ])
     ap.add_argument("--n_chain", type=int, default=32)
+    ap.add_argument("--floors", action="store_true",
+                    help="also print per-piece roofline floors from "
+                         "cost_analysis: flops/peak and bytes/HBM-BW — the "
+                         "piece is near speed-of-light when measured ~ "
+                         "max(flop_floor, byte_floor)")
     args = ap.parse_args()
 
     import jax
@@ -346,6 +351,56 @@ def main():
                                for g in jax.tree.leaves(grads))
                     return c + (loss + gsum) * 0, c
 
+        elif base in ("s2pa_bank_grad", "s2pa_bank_fwd"):
+            # the gather-FUSED Pallas kernel (ops/s2pa_bank_pallas.py) at the
+            # same production data flow as s2pa_gather_grad: the [8001,L,E]
+            # bank stays in HBM and the kernel's BlockSpec index_map gathers
+            # rows; compare directly against s2pa_gather_grad / _fwd.
+            from dicttts_tpu.models.dict_encoder import sense_remap
+            from dicttts_tpu.ops.s2pa_bank_pallas import s2pa_bank_attend
+
+            NW = 8001
+            bank = jnp.asarray(
+                rng0.randn(NW, LK, E).astype(np.float32) * 0.05).astype(jnp.bfloat16)
+            km_bank = jnp.asarray(
+                (rng0.randint(0, 3, (NW, LK)) + (np.arange(LK) == 0)).astype(np.int32))
+            pm_bank = jnp.asarray(np.tile([1, 1, 2, 2, 0, 0, 0, 0], (NW, 1)).astype(np.int32))
+            wt = jnp.asarray(rng0.randint(3, NW, (b, TW)).astype(np.int32))
+            x_in = jnp.asarray(rng0.randn(b, TW, H).astype(np.float32) * 0.1).astype(jnp.bfloat16)
+            p0 = {
+                "wq": jnp.asarray(rng0.randn(H, H).astype(np.float32) * H**-0.5).astype(jnp.bfloat16),
+                "wk": jnp.asarray(rng0.randn(E, H).astype(np.float32) * E**-0.5).astype(jnp.bfloat16),
+                "wv": jnp.asarray(rng0.randn(E, H).astype(np.float32) * E**-0.5).astype(jnp.bfloat16),
+            }
+            env = {"p": p0, "x": x_in, "bank": bank, "km_bank": km_bank,
+                   "pm_bank": pm_bank, "wt": wt}
+
+            def fused_fwd(p, env, r):
+                wt, km = env["wt"], env["km_bank"][env["wt"]]
+                pm = env["pm_bank"][env["wt"]]
+                q = jnp.einsum("bth,hj->btj", env["x"], p["wq"]) * (E**-0.5)
+                q_e = jnp.einsum("bth,eh->bte", q, p["wk"])
+                keep = jax.random.bernoulli(r, 0.9, (b, TW, LK))
+                mask = keep.astype(jnp.float32) / 0.9
+                ctx_e, w = s2pa_bank_attend(
+                    env["bank"], wt.reshape(-1),
+                    q_e.reshape(-1, E).astype(env["bank"].dtype),
+                    km.reshape(-1, LK), mask.reshape(-1, LK))
+                w_d = w.reshape(b, TW, LK) * mask
+                ctx = jnp.einsum("bte,eh->bth", ctx_e.reshape(b, TW, E), p["wv"])
+                pron = sense_remap(w_d, km, pm)
+                return jnp.sum(ctx.astype(jnp.float32) ** 2) + jnp.sum(pron ** 2)
+
+            if base == "s2pa_bank_fwd":
+                def body(env, c, r):
+                    return c + fused_fwd(env["p"], env, r) * 0, c
+            else:
+                def body(env, c, r):
+                    loss, grads = jax.value_and_grad(fused_fwd)(env["p"], env, r)
+                    gsum = sum(jnp.sum(jnp.abs(g.astype(jnp.float32)))
+                               for g in jax.tree.leaves(grads))
+                    return c + (loss + gsum) * 0, c
+
         else:
             raise SystemExit(f"unknown piece {name}")
 
@@ -379,10 +434,27 @@ def main():
                 float(chain(env, jnp.float32(i), jax.random.PRNGKey(2 + i)))
                 reps.append(time.perf_counter() - t0)
             best = min(reps)
-            print(json.dumps({
+            rec = {
                 "piece": name, "n_chain": N,
                 "ms_per_step": round(1e3 * max(best - rtt, 0) / N, 2),
-            }), flush=True)
+            }
+            if args.floors:
+                # floors from ONE body compiled standalone (fusion context
+                # differs slightly from the scan, but flop/byte totals are
+                # the same math). v5e peaks: 197 TFLOP/s bf16, ~819 GB/s HBM.
+                one = jax.jit(lambda env, c, r, body=body: body(env, c, r))
+                ca = one.lower(
+                    env, jnp.float32(0), jax.random.PRNGKey(0)).compile().cost_analysis()
+                if isinstance(ca, list):
+                    ca = ca[0]
+                flops = float(ca.get("flops", 0.0))
+                byts = float(ca.get("bytes accessed", 0.0))
+                rec["flop_floor_ms"] = round(1e3 * flops / 197e12, 3)
+                rec["byte_floor_ms"] = round(1e3 * byts / 819e9, 3)
+                rec["gap_x"] = round(
+                    rec["ms_per_step"]
+                    / max(rec["flop_floor_ms"], rec["byte_floor_ms"], 1e-6), 2)
+            print(json.dumps(rec), flush=True)
         except Exception as e:  # noqa: BLE001
             print(json.dumps({"piece": name,
                               "error": f"{type(e).__name__}: {e}"[:300]}),

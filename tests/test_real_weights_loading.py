@@ -46,6 +46,17 @@ def roformer_dir(tmp_path_factory):
     (absent from this image), and the released roformer-chinese-base vocab
     is BERT-wordpiece-compatible, so per-char tokenization matches for the
     CJK gloss text this branch feeds it."""
+    # transformers' import probes run importlib.util.find_spec over optional
+    # deps; a spec-less stub module leaked by another test file (e.g. the
+    # parity suite's reference-import shims) raises ValueError there. Drop
+    # any such stubs before the first transformers import in this process.
+    for name in ["chardet", "pytorch_memlab", "librosa", "librosa.filters",
+                 "parselmouth", "webrtcvad", "pyloudnorm", "jiwer",
+                 "resemblyzer", "pycwt"]:
+        mod = sys.modules.get(name)
+        if mod is not None and getattr(mod, "__spec__", None) is None \
+                and getattr(mod, "__file__", None) is None:
+            del sys.modules[name]
     from transformers import RoFormerConfig, RoFormerModel
 
     d = str(tmp_path_factory.mktemp("roformer"))
