@@ -59,7 +59,7 @@ def _ensure_prod_corpus() -> str:
 
 
 def _bench_trainer(bdir: str, frame_cache: bool = True, k_dispatch: int = 8,
-                   max_updates: int = 160) -> dict:
+                   max_updates: int = 160, bank_fused: bool = False) -> dict:
     """Steps/s + MFU through the real data path at the REFERENCE training
     geometry: 60 sentences x 512-frame bucket (readme.md:107), 8000-word
     device dict bank, full GAN step (disc active). frame_cache=True is the
@@ -96,6 +96,9 @@ def _bench_trainer(bdir: str, frame_cache: bool = True, k_dispatch: int = 8,
         # once and the step gathers rows by item_idx — removes the dominant
         # remaining host->device transfer (f16 mel, ~4.9 MB/step)
         "use_device_frame_cache": frame_cache,
+        # gather-fused Pallas S2PA: bank rows stream HBM->VMEM inside the
+        # kernel instead of materializing the [B,Tw,L,E] gathered copy
+        "s2pa_bank_fused": bank_fused,
     })
     ds = TTSBinaryDataset(bdir, "train", cfg, kind="dict")
     provider = TTSBatchProvider(ds, cfg, shuffle=True, emit_frame_refs=frame_cache)
@@ -419,6 +422,10 @@ def main():
         trainer_extra["train_step_ms_streaming"] = stream["train_step_ms_real_data"]
         trainer_extra["train_steps_per_sec_streaming"] = stream["train_steps_per_sec_real_data"]
         trainer_extra["train_host_bytes_per_step_mb_streaming"] = stream["train_host_bytes_per_step_mb"]
+        print("| bench: trainer A/B with gather-fused S2PA...", file=sys.stderr)
+        fused = _bench_trainer(bdir, frame_cache=True, bank_fused=True)
+        trainer_extra["train_step_ms_bank_fused"] = fused["train_step_ms_real_data"]
+        trainer_extra["train_steps_per_sec_bank_fused"] = fused["train_steps_per_sec_real_data"]
 
     result = {
         "metric": "text_to_wav_rtf",
