@@ -104,15 +104,42 @@ def _select_heteronyms(zd, max_heteronyms: int):
     return het, single
 
 
+# Bank v2 (r5): v1 enumerated signatures as (i%24, i//24%40, ...) steps of
+# 11 Hz in f0 — but a char's readings are usually ADJACENT in sorted order
+# (tone-only pairs: liáng/liàng, jǐn/jìn, tái/tāi ...), so exactly the
+# contrasts S2PA must learn differed by one 11 Hz step inside a single
+# low-frequency mel bin: measured mean |Δlog10-mel| 0.10-0.18 between
+# confused pairs vs 0.81 for far pairs. The audio could not TEACH those
+# readings, capping heteronym accuracy at ~78 % in r5's first two runs
+# (identical per-char error sets across configs). v2 assigns each syllable
+# a distinct 3-subset of a 24-point mel-equidistant frequency grid — any
+# two syllables differ by full presence/absence of >= 1 partial that the
+# 80-bin mel filterbank resolves (grid spacing ~2.5 filters).
+BANK_VERSION = 2
+
+
+def _mel_scale(f):
+    f = np.asarray(f, np.float64)
+    return np.where(f < 1000.0, f / 66.6667,
+                    15.0 + 27.0 * np.log(np.maximum(f, 1.0) / 1000.0) / np.log(6.4))
+
+
+def _mel_inv(m):
+    m = np.asarray(m, np.float64)
+    return np.where(m < 15.0, m * 66.6667,
+                    1000.0 * np.exp(np.log(6.4) * (m - 15.0) / 27.0))
+
+
 def _syllable_bank(syls: list[str]):
-    """Unique (f0, f1, f2) harmonic signature per distinct syllable —
-    enumerated, not hashed, so no two syllables share a spectrum."""
-    bank = {}
-    for i, s in enumerate(sorted(set(syls))):
-        a, rem = i % 24, i // 24
-        b, c = rem % 40, rem // 40
-        bank[s] = (95.0 + a * 11.0, 900.0 + b * 82.0, 4300.0 + c * 90.0)
-    return bank
+    """Unique 3-partial signature per distinct syllable: the i-th
+    3-combination of a 24-frequency mel-equidistant grid (C(24,3)=2024)."""
+    import itertools
+
+    grid = _mel_inv(np.linspace(_mel_scale(220.0), _mel_scale(7600.0), 24))
+    combos = list(itertools.combinations(range(24), 3))
+    uniq = sorted(set(syls))
+    assert len(uniq) <= len(combos), f"{len(uniq)} syllables > C(24,3)"
+    return {s: tuple(float(grid[c]) for c in combos[i]) for i, s in enumerate(uniq)}
 
 
 def _render(syl_seq: list[str], bank, sr: int, secs_per_char: float) -> np.ndarray:
@@ -122,10 +149,9 @@ def _render(syl_seq: list[str], bank, sr: int, secs_per_char: float) -> np.ndarr
     env = np.minimum(1.0, np.minimum(np.arange(n), np.arange(n)[::-1]) / (0.012 * sr))
     for s in syl_seq:
         f0, f1, f2 = bank[s]
-        w = (0.20 * np.sin(2 * np.pi * f0 * t)
-             + 0.10 * np.sin(2 * np.pi * 2.0 * f0 * t)
-             + 0.10 * np.sin(2 * np.pi * f1 * t)
-             + 0.07 * np.sin(2 * np.pi * f2 * t))
+        w = (0.22 * np.sin(2 * np.pi * f0 * t)
+             + 0.14 * np.sin(2 * np.pi * f1 * t)
+             + 0.10 * np.sin(2 * np.pi * f2 * t))
         segs.append((w * env).astype(np.float32))
     segs.append(np.zeros(int(0.25 * sr), np.float32))
     return np.concatenate(segs)
@@ -226,7 +252,7 @@ def build_per_corpus(root: str, n_items: int, dict_path: str, seed: int = 0,
         all_syls.extend(syls)
     bank = _syllable_bank(all_syls)
 
-    raw = os.path.join(root, "raw")
+    raw = os.path.join(root, f"raw_v{BANK_VERSION}")
     os.makedirs(raw, exist_ok=True)
 
     class PerPreAlign(PreAlign):
@@ -237,10 +263,10 @@ def build_per_corpus(root: str, n_items: int, dict_path: str, seed: int = 0,
                     save_wav(fn, _render(gold[name], bank, sr, secs_per_char), sr)
                 yield name, fn, text
 
-    bdir = os.path.join(root, f"binary_n{n_items}")
+    bdir = os.path.join(root, f"binary_n{n_items}_v{BANK_VERSION}")
     cfg = {
         "raw_data_dir": raw,
-        "processed_data_dir": os.path.join(root, f"processed_n{n_items}"),
+        "processed_data_dir": os.path.join(root, f"processed_n{n_items}_v{BANK_VERSION}"),
         "binary_data_dir": bdir,
         "dict_path": dict_path,
         "word_size": 12000,
@@ -577,8 +603,12 @@ def main():
                       f"({args.dict_path}, {7030} entries)",
             "task": "heteronym disambiguation from gloss-derived semantic "
                     "context; readings drawn uniformly per slot",
-            "audio": "pronunciation-faithful 3-partial harmonic signatures, "
-                     "one unique spectrum per distinct syllable",
+            "audio": "pronunciation-faithful 3-partial signatures (bank v2: "
+                     "each syllable a distinct 3-subset of a 24-point "
+                     "mel-equidistant grid, so any two syllables differ by "
+                     ">=1 mel-resolvable partial; v1's enumeration gave "
+                     "same-char tone pairs spectra 11 Hz apart — "
+                     "unlearnable from 80-bin mels)",
             "gloss_features": "deterministic crc32-seeded gaussian fallback "
                               "(no RoFormer weights in this sandbox)",
             "sandhi": "text/sandhi.py overrides applied to audio AND labels",
