@@ -402,6 +402,29 @@ def main():
 
         latency_extra[f"serving_p50_latency_ms_b{LB}"] = round(p50(serve, 5) * 1000, 1)
 
+    # B=1 stage breakdown (VERDICT r4 #5; full version: scripts/serve_attrib.py).
+    # Measured r5: 40.2 = 25.2 RTT + 7.5 pull (311 KB int16 PCM at the
+    # relay's ~42 MB/s) + 6.2 vocoder + 0.2 acoustic + 1.2 residual — the
+    # unattributed ~13 ms from r4 was the OUTPUT TRANSFER, not device work.
+    @jax.jit
+    def _tiny(seed):
+        return (seed * 0).astype(jnp.int16).reshape(1, 1)
+
+    n_wav = MAX_FRAMES * 256
+
+    @jax.jit
+    def _fill(seed):
+        return jnp.full((1, n_wav), 1, jnp.int16) * (seed * 0 + 1).astype(jnp.int16)
+
+    rtt_small = p50(lambda i=0: np.asarray(_tiny(jnp.int32(i))), 7)
+    pull_wav = p50(lambda i=0: np.asarray(_fill(jnp.int32(i))), 7)
+    latency_extra["serving_b1_rtt_ms"] = round(rtt_small * 1000, 2)
+    latency_extra["serving_b1_pull_311k_extra_ms"] = round((pull_wav - rtt_small) * 1000, 2)
+    latency_extra["serving_b1_compute_ms"] = round(per_utt * 1000, 2)
+    latency_extra["serving_b1_residual_ms"] = round(
+        latency_extra["serving_p50_latency_ms_b1"] - rtt_small * 1000
+        - (pull_wav - rtt_small) * 1000 - per_utt * 1000, 2)
+
     # trainer throughput through the real binarized-corpus data path at the
     # reference geometry (60 x 512, 8000-word device bank) in the shipped
     # configuration (device-resident frame cache).

@@ -144,6 +144,56 @@ def main():
                            for g in jax.tree.leaves(grads))
                 return c + (loss + gsum) * 0, c
 
+        elif base in ("fvae_grad_remat", "enc_grad_remat"):
+            # jax.checkpoint around the module apply: bwd recomputes the
+            # forward instead of saving activations — trades (cheap) flops
+            # for HBM traffic on the bandwidth-bound pieces
+            if base == "enc_grad_remat":
+                mod = DictEncoder(8000, H, 2, 5, 0.1, 185)
+                params = mod.init(
+                    {"params": jax.random.PRNGKey(0)}, words, dm, None, True)["params"]
+                env = {"params": params, "words": words, "dm": dm}
+
+                @jax.checkpoint
+                def fwd(p, words, dm, r):
+                    with amp_scope("bfloat16", jnp.bfloat16):
+                        x, _, _, _ = mod.apply(
+                            {"params": p}, words, dm, None, False,
+                            rngs={"dropout": r})
+                    return jnp.sum(x.astype(jnp.float32) ** 2)
+
+                def loss_fn(p, env, r):
+                    return fwd(p, env["words"], env["dm"], r)
+            else:
+                mod = FVAE(
+                    in_out_channels=80, hidden_channels=192, latent_size=16,
+                    kernel_size=5, enc_n_layers=8, dec_n_layers=4,
+                    gin_channels=H, strides=(4,), use_prior_flow=True,
+                    flow_hidden=64, flow_kernel_size=3, flow_n_steps=4,
+                )
+                params = mod.init(
+                    {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+                    x=mels, x_mask=mask, g=g, infer=False)["params"]
+                env = {"params": params, "mels": mels, "mask": mask, "g": g}
+
+                @jax.checkpoint
+                def fwd(p, mels, mask, g, r):
+                    with amp_scope("bfloat16", jnp.bfloat16):
+                        out, kl, *_ = mod.apply(
+                            {"params": p}, x=mels, x_mask=mask, g=g,
+                            infer=False, deterministic=False,
+                            rngs={"sample": r, "dropout": r})
+                    return jnp.sum(out.astype(jnp.float32) ** 2) + kl
+
+                def loss_fn(p, env, r):
+                    return fwd(p, env["mels"], env["mask"], env["g"], r)
+
+            def body(env, c, r):
+                loss, grads = jax.value_and_grad(loss_fn)(env["params"], env, r)
+                gsum = sum(jnp.sum(jnp.abs(g.astype(jnp.float32)))
+                           for g in jax.tree.leaves(grads))
+                return c + (loss + gsum) * 0, c
+
         elif base in ("fvae_grad", "fvae_noflow_grad"):
             mod = FVAE(
                 in_out_channels=80, hidden_channels=192, latent_size=16,

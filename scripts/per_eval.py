@@ -594,6 +594,8 @@ def main():
         "reference_anchor_per_pct": 1.93,
         "n_test_items": n_test,
         "max_updates": args.max_updates,
+        "hparams": args.hparams or "(recipe defaults)",
+        "bank_version": BANK_VERSION,
         "train_secs": round(train_secs, 1) if train_secs else None,
         "infer_secs": round(infer_secs, 1) if infer_secs else None,
         "breakdown": breakdown,
