@@ -425,6 +425,24 @@ def main():
         latency_extra["serving_p50_latency_ms_b1"] - rtt_small * 1000
         - (pull_wav - rtt_small) * 1000 - per_utt * 1000, 2)
 
+    # mu-law output (ops/pcm.py): 1 byte/sample halves the transport term —
+    # the only reducible piece of the B=1 latency on this relay
+    from dicttts_tpu.ops.pcm import mulaw_encode
+
+    @jax.jit
+    def serve_once_mulaw(params, voc_params, seed):
+        with jax.default_matmul_precision("bfloat16"):
+            mel = model.apply(
+                {"params": params}, words, dm, pron_mod, infer=True,
+                max_frames=MAX_FRAMES, rngs={"sample": jax.random.PRNGKey(seed)},
+            )["mel_out"]
+            wav = voc.apply({"params": voc_params}, mel.astype(jnp.bfloat16))
+        return mulaw_encode(wav.astype(jnp.float32))
+
+    latency_extra["serving_p50_latency_ms_b1_mulaw"] = round(
+        p50(lambda i=0: np.asarray(serve_once_mulaw(params, voc_params, jnp.int32(i))), 7)
+        * 1000, 1)
+
     # trainer throughput through the real binarized-corpus data path at the
     # reference geometry (60 x 512, 8000-word device bank) in the shipped
     # configuration (device-resident frame cache).
