@@ -448,7 +448,11 @@ def main():
     # configuration (device-resident frame cache).
     print("| bench: trainer on real data path (prod geometry)...", file=sys.stderr)
     bdir = _ensure_prod_corpus()
-    trainer_extra = _bench_trainer(bdir, frame_cache=True)
+    # shipped production recipe: gather-fused S2PA ON (21.05 vs 22.42 ms
+    # unfused, measured twice idle — the kernel loses its ISOLATED A/B but
+    # wins end-to-end: not materializing the 566 MB gathered bank frees
+    # bandwidth/scheduling for the rest of the step; DISPATCH_r05.md)
+    trainer_extra = _bench_trainer(bdir, frame_cache=True, bank_fused=True)
 
     # slow A/Bs (the streaming-vs-cache delta and the Pallas S2PA sweep) run
     # only under GRAFT_BENCH_FULL=1: each costs minutes of compiles through
@@ -463,10 +467,10 @@ def main():
         trainer_extra["train_step_ms_streaming"] = stream["train_step_ms_real_data"]
         trainer_extra["train_steps_per_sec_streaming"] = stream["train_steps_per_sec_real_data"]
         trainer_extra["train_host_bytes_per_step_mb_streaming"] = stream["train_host_bytes_per_step_mb"]
-        print("| bench: trainer A/B with gather-fused S2PA...", file=sys.stderr)
-        fused = _bench_trainer(bdir, frame_cache=True, bank_fused=True)
-        trainer_extra["train_step_ms_bank_fused"] = fused["train_step_ms_real_data"]
-        trainer_extra["train_steps_per_sec_bank_fused"] = fused["train_steps_per_sec_real_data"]
+        print("| bench: trainer A/B without gather-fused S2PA...", file=sys.stderr)
+        unfused = _bench_trainer(bdir, frame_cache=True, bank_fused=False)
+        trainer_extra["train_step_ms_bank_unfused"] = unfused["train_step_ms_real_data"]
+        trainer_extra["train_steps_per_sec_bank_unfused"] = unfused["train_steps_per_sec_real_data"]
 
     result = {
         "metric": "text_to_wav_rtf",

@@ -71,8 +71,15 @@ class DictTTSTask(AdversarialTTSTask):
             )
         self.mel_loss_spec = L.parse_mel_loss_spec(cfg.get("mel_loss", "ssim:0.5|l1:0.5"))
         # gather-fused S2PA (Pallas): needs the device bank; the kernel
-        # gathers bank rows itself (ops/s2pa_bank_pallas.py)
-        self.bank_fused = bool(cfg.get("s2pa_bank_fused")) and self.use_device_bank
+        # gathers bank rows itself (ops/s2pa_bank_pallas.py). TPU-only:
+        # off-TPU the kernel would run in the (very slow) interpreter, so
+        # CPU runs (tests, the DCN rehearsal) silently use the equivalent
+        # XLA gather path instead — same math, equivalence-tested.
+        self.bank_fused = (
+            bool(cfg.get("s2pa_bank_fused"))
+            and self.use_device_bank
+            and jax.default_backend() == "tpu"
+        )
         self.lambda_kl = cfg.get("lambda_kl", 1.0)
         self.kl_min = cfg.get("kl_min", 0.002)
         self.infer_max_frames = cfg.get("max_frames", 1548)
