@@ -13,8 +13,16 @@ prefetch argument and the *BlockSpec index_map itself* performs the gather —
 each grid step's R bank rows stream HBM→VMEM once (Pallas double-buffers
 block fetches across grid steps), and logits → mask → softmax → dropout →
 context all happen in VMEM. Total bank traffic per training step drops to
-2 reads (fwd + recompute in bwd) ≈ 1.1 GB — the speed-of-light floor for
-this op on v5e given the bank cannot live in VMEM (1.2 GB).
+2 reads (fwd + recompute in bwd) ≈ 1.1 GB.
+
+Measured reality (DISPATCH_r05.md): the ISOLATED A/B loses to XLA — the
+XLA gather+einsum chain runs at the 566 MB single-read floor (0.68 ms fwd
+vs this kernel's 1.46; 8 row-DMAs per grid step pipeline worse than XLA's
+bulk gather) — but the FULL production train step WINS with the kernel:
+21.05 vs 22.42 ms at the 60x512 geometry, because not materializing the
+566 MB intermediate frees bandwidth/scheduling for everything else in the
+step. Hence `s2pa_bank_fused: true` in the production recipe (TPU-gated;
+CPU falls back to the XLA path).
 
 Gradients: the bank is training-constant (it is carried in train state under
 ``_const_`` and never differentiated), so the custom VJP recomputes the
