@@ -132,6 +132,15 @@ def test_speaker_embed_routes_through_ge2e_ckpt(tmp_path):
     np.testing.assert_allclose(np.linalg.norm(e), 1.0, rtol=1e-4)
     stats = spectral_speaker_stats(mel, None)
     assert e.shape != stats.shape or np.abs(e - stats[:16]).max() > 1e-3
-    # missing ckpt falls back to the stand-in
-    e2 = speaker_embed(mel, None, {"spk_encoder_ckpt": str(tmp_path / "nope.pt")})
-    assert e2.shape == stats.shape and np.allclose(e2, stats)
+    # a CONFIGURED-but-missing ckpt must fail loudly, NOT silently fall back
+    # to the stand-in (r3 VERDICT missing #2 contract: a silent fallback
+    # would poison a whole binarize run with wrong embeddings; this test
+    # previously codified the opposite and went stale when speaker_embed
+    # adopted the loud-failure contract)
+    import pytest
+
+    with pytest.raises((FileNotFoundError, ValueError)):
+        speaker_embed(mel, None, {"spk_encoder_ckpt": str(tmp_path / "nope.pt")})
+    # UNSET ckpt is the documented stand-in path
+    e3 = speaker_embed(mel, None, {})
+    assert e3.shape == stats.shape and np.allclose(e3, stats)
